@@ -1,0 +1,216 @@
+"""Structured (block-Cartesian, optionally distorted) hex meshes.
+
+The TPU-native replacement for the reference's p4est forests: DoF indexing is
+pure arithmetic on a tensor grid, so matrix-free apply is sum-factorized
+einsums and the mesh itself is just {cell counts, bounding box, optional
+vertex displacement field}.  Covers every shipped test/benchmark config of
+the reference (all goldens use hyperRectangle grids; see SURVEY.md section 7).
+
+Geometry data is evaluated once at setup:
+  * Cartesian path: identical axis-aligned cells; J = diag(h)/cell constant.
+  * General path (distorted grids): per-(cell, quad) detJxW and inverse
+    Jacobian from the Q1 multilinear vertex mapping.
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from .fe import shape_data_1d
+
+
+@dataclass(frozen=True)
+class Geometry:
+    """Quadrature-point geometry factors for one quadrature rule.
+
+    cartesian: jxw is (q1,..,qd) (same every cell) and jinv_diag is (dim,).
+    general:   jxw is (*cells, q1..qd), jinv is (*cells, q.., dim, dim) with
+               jinv[..., e, d] = d xi_e / d x_d.
+    """
+    cartesian: bool
+    jxw: np.ndarray
+    jinv_diag: np.ndarray | None = None
+    jinv: np.ndarray | None = None
+
+
+class StructuredMesh:
+    """Tensor-product mesh of a hyper-rectangle.
+
+    Reference analogue: GridGenerator::subdivided_hyper_rectangle + global
+    refinement + optional GridTools::distort_random (tests/tp_01.cc:83-90).
+    """
+
+    def __init__(self, subdivisions, lower, upper, refinement: int = 0,
+                 distort: float = 0.0, distort_seed: int = 42):
+        self.dim = len(subdivisions)
+        self.subdivisions = tuple(int(s) for s in subdivisions)
+        self.lower = np.asarray(lower, dtype=np.float64)
+        self.upper = np.asarray(upper, dtype=np.float64)
+        self.refinement = refinement
+        self.cells = tuple(s * 2 ** refinement for s in self.subdivisions)
+        self.h = (self.upper - self.lower) / np.array(self.cells)
+        self.distort = distort
+        self._vertices = None
+        if distort != 0.0:
+            self._vertices = self._distorted_vertices(distort, distort_seed)
+
+    # -- reference tp_01.cc:87: minimal_cell_diameter BEFORE refinement ------
+    @property
+    def coarse_cell_diameter(self) -> float:
+        h0 = (self.upper - self.lower) / np.array(self.subdivisions)
+        return float(np.linalg.norm(h0))
+
+    @property
+    def n_cells(self) -> int:
+        return int(np.prod(self.cells))
+
+    def n_dofs(self, degree: int) -> int:
+        return int(np.prod(self.dof_shape(degree)))
+
+    def dof_shape(self, degree: int) -> tuple[int, ...]:
+        """Continuous Q_degree dof grid (lexicographic per axis)."""
+        return tuple(c * degree + 1 for c in self.cells)
+
+    def vertex_grid(self) -> np.ndarray:
+        """Vertex coordinates, shape (*[c+1], dim)."""
+        if self._vertices is not None:
+            return self._vertices
+        axes = [self.lower[d] + self.h[d] * np.arange(self.cells[d] + 1)
+                for d in range(self.dim)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        return np.stack(mesh, axis=-1)
+
+    def _distorted_vertices(self, factor: float, seed: int) -> np.ndarray:
+        """Randomly shift interior vertices by up to factor*h_min per
+        coordinate (deal.II GridTools::distort_random semantics with our own
+        deterministic RNG -- documented deviation: different random stream).
+        """
+        axes = [self.lower[d] + self.h[d] * np.arange(self.cells[d] + 1)
+                for d in range(self.dim)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        verts = np.stack(mesh, axis=-1)
+        rng = np.random.default_rng(seed)
+        hmin = float(np.min(self.h))
+        shift = rng.uniform(-factor * hmin, factor * hmin, size=verts.shape)
+        # keep the boundary fixed
+        for d in range(self.dim):
+            idx = [slice(None)] * self.dim
+            idx[d] = 0
+            shift[tuple(idx)] = 0.0
+            idx[d] = -1
+            shift[tuple(idx)] = 0.0
+        return verts + shift
+
+    def geometry(self, n_q_per_axis: int, degree_for_quad: int) -> Geometry:
+        """Geometry factors at the tensor Gauss rule with n_q_per_axis points.
+
+        degree_for_quad only selects the cached 1D shape data for quad points.
+        """
+        sd = shape_data_1d(1, n_q_per_axis)  # Q1 geometry mapping shapes
+        qx, qw = sd.quad_x, sd.quad_w
+        qshape = (n_q_per_axis,) * self.dim
+        w_tensor = np.ones(qshape)
+        for d in range(self.dim):
+            shape = [1] * self.dim
+            shape[d] = n_q_per_axis
+            w_tensor = w_tensor * qw.reshape(shape)
+
+        if self._vertices is None:
+            detj = float(np.prod(self.h))
+            return Geometry(cartesian=True, jxw=w_tensor * detj,
+                            jinv_diag=1.0 / self.h)
+
+        # general path: Q1 mapping per cell
+        verts = self._vertices  # (*[c+1], dim)
+        dim = self.dim
+        # cell corner array: (*cells, 2**dim, dim) in lexicographic corner
+        # order (corner index bits = per-axis 0/1)
+        corners = []
+        for bits in itertools.product((0, 1), repeat=dim):
+            sl = tuple(slice(b, self.cells[d] + b) for d, b in enumerate(bits))
+            corners.append(verts[sl])
+        corner_arr = np.stack(corners, axis=-2)  # (*cells, 2^dim, dim)
+
+        # Q1 shape values/derivs at the tensor quad points
+        # N[corner, q...] and dN[corner, q..., dxi]
+        n_corners = 2 ** dim
+        N = np.ones((n_corners,) + qshape)
+        dN = np.ones((n_corners,) + qshape + (dim,))
+        for ci, bits in enumerate(itertools.product((0, 1), repeat=dim)):
+            for d, b in enumerate(bits):
+                shape = [1] * dim
+                shape[d] = n_q_per_axis
+                f = qx if b else (1.0 - qx)
+                df = np.ones_like(qx) if b else -np.ones_like(qx)
+                N[ci] = N[ci] * f.reshape(shape)
+                for e in range(dim):
+                    dN[ci, ..., e] = dN[ci, ..., e] * (
+                        (df if e == d else f).reshape(shape))
+        # J[*cells, q..., dx, dxi] = sum_c corner[c, dx] dN[c, q.., dxi]
+        J = np.einsum("...cx,cQe->...Qxe", corner_arr,
+                      dN.reshape(n_corners, -1, dim))
+        # J has shape (*cells, prod(q), dim, dim)
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)  # [..., dxi, dx] since inv of [dx, dxi]
+        jxw = detJ * w_tensor.reshape(-1)
+        jxw = jxw.reshape(*self.cells, *qshape)
+        jinv = Jinv.reshape(*self.cells, *qshape, dim, dim)
+        return Geometry(cartesian=False, jxw=jxw, jinv=jinv)
+
+    def boundary_dof_mask(self, degree: int) -> np.ndarray:
+        """1.0 for interior (free) dofs, 0.0 on the domain boundary
+        (homogeneous Dirichlet elimination mask)."""
+        mask = np.ones(self.dof_shape(degree))
+        for d in range(self.dim):
+            idx = [slice(None)] * self.dim
+            idx[d] = 0
+            mask[tuple(idx)] = 0.0
+            idx[d] = -1
+            mask[tuple(idx)] = 0.0
+        return mask
+
+    def dof_coordinates(self, degree: int) -> np.ndarray:
+        """Coordinates of the Q_degree nodal points, shape (*dofshape, dim).
+
+        For distorted meshes nodes are placed by the Q1 cell mapping of the
+        reference GLL pattern (matches deal.II's MappingQ1 node placement).
+        """
+        from .fe import q_nodes_1d
+        if self._vertices is None:
+            axes = []
+            nodes = np.array(q_nodes_1d(degree))
+            for d in range(self.dim):
+                pos = (self.lower[d]
+                       + self.h[d] * (np.arange(self.cells[d])[:, None]
+                                      + nodes[None, :]))
+                axes.append(np.concatenate([pos[:, :-1].reshape(-1),
+                                            [self.upper[d]]]))
+            mesh = np.meshgrid(*axes, indexing="ij")
+            return np.stack(mesh, axis=-1)
+        # distorted: multilinear interp of vertices at node pattern
+        nodes = np.array(q_nodes_1d(degree))
+        dim = self.dim
+        out = np.zeros(self.dof_shape(degree) + (dim,))
+        verts = self._vertices
+        # loop cells (setup-time numpy; test-scale meshes only)
+        for cidx in itertools.product(*[range(c) for c in self.cells]):
+            corners = {}
+            for bits in itertools.product((0, 1), repeat=dim):
+                corners[bits] = verts[tuple(c + b for c, b in
+                                            zip(cidx, bits))]
+            local = np.zeros((degree + 1,) * dim + (dim,))
+            for lidx in itertools.product(*[range(degree + 1)] * dim):
+                xi = np.array([nodes[i] for i in lidx])
+                pt = np.zeros(dim)
+                for bits, cv in corners.items():
+                    w = np.prod([xi[d] if b else 1 - xi[d]
+                                 for d, b in enumerate(bits)])
+                    pt += w * cv
+                local[lidx] = pt
+            sl = tuple(slice(c * degree, c * degree + degree + 1)
+                       for c in cidx)
+            out[sl] = local
+        return out

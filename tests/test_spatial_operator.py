@@ -1,0 +1,116 @@
+"""Spatial operator correctness: matrix-free apply vs assembled element
+matrices (the reference's tp_05 identity check, tests/tp_05dgp_support.cc:
+132-151), adjointness of gather/scatter, symmetry, and exactness checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stfem_tpu.mesh.grid import StructuredMesh
+from stfem_tpu.ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter
+
+
+def assembled_apply(op, x):
+    E = op.element_matrices()
+    u = cell_gather(x * op.mask, op.cells, op.degree)
+    C = int(np.prod(op.cells))
+    u = u.reshape(C, -1)
+    y = jnp.einsum("cab,cb->ca", E, u)
+    y = y.reshape(op.cells + (op.degree + 1,) * op.dim)
+    return cell_scatter(y, op.cells, op.degree) * op.mask
+
+
+@pytest.mark.parametrize("dim,degree,distort", [
+    (1, 1, 0.0), (1, 3, 0.0),
+    (2, 1, 0.0), (2, 2, 0.0), (2, 4, 0.0),
+    (2, 2, 0.15),
+    (3, 1, 0.0), (3, 2, 0.0), (3, 2, 0.1),
+])
+def test_matrix_free_equals_assembled(dim, degree, distort):
+    mesh = StructuredMesh([2] * dim, [0.0] * dim, [1.0] * dim, refinement=1,
+                          distort=distort)
+    op = LaplaceMassOperator(mesh, degree, degree + 1, 1.0, 1.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(mesh.dof_shape(degree)))
+    y1 = op.apply(x)
+    y2 = assembled_apply(op, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_gather_scatter_adjoint():
+    mesh = StructuredMesh([3, 2], [0, 0], [1, 1], refinement=1)
+    k = 2
+    shape = mesh.dof_shape(k)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(shape))
+    yc = jnp.asarray(rng.standard_normal(mesh.cells + (k + 1, k + 1)))
+    # <gather(x), yc> == <x, scatter(yc)>
+    lhs = jnp.sum(cell_gather(x, mesh.cells, k) * yc)
+    rhs = jnp.sum(x * cell_scatter(yc, mesh.cells, k))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_operator_symmetry():
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    op = LaplaceMassOperator(mesh, 2, 3, 0.3, 1.7)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(mesh.dof_shape(2)))
+    y = jnp.asarray(rng.standard_normal(mesh.dof_shape(2)))
+    np.testing.assert_allclose(float(jnp.sum(y * op.apply(x))),
+                               float(jnp.sum(x * op.apply(y))), rtol=1e-11)
+
+
+def test_mass_volume():
+    """1^T M 1 = |domain| with no Dirichlet mask."""
+    mesh = StructuredMesh([2, 3], [0, 0], [2.0, 3.0], refinement=1)
+    free = np.ones(mesh.dof_shape(2))
+    op = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0, mask=free)
+    one = jnp.ones(mesh.dof_shape(2))
+    np.testing.assert_allclose(float(jnp.sum(op.apply(one))), 6.0, rtol=1e-12)
+
+
+def test_laplace_energy_of_linear():
+    """x^T K x = int |grad u|^2 = 1 for u = x coordinate on unit square."""
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    free = np.ones(mesh.dof_shape(1))
+    op = LaplaceMassOperator(mesh, 1, 2, 0.0, 1.0, mask=free)
+    coords = mesh.dof_coordinates(1)
+    u = jnp.asarray(coords[..., 0])
+    np.testing.assert_allclose(float(jnp.sum(u * op.apply(u))), 1.0,
+                               rtol=1e-12)
+
+
+def test_diagonal_matches_assembled():
+    mesh = StructuredMesh([2, 2], [0, 0], [1, 1], refinement=1)
+    op = LaplaceMassOperator(mesh, 2, 3, 1.0, 1.0)
+    d = np.asarray(op.diagonal()).reshape(-1)
+    n = d.size
+    # unit-vector probing of the matrix-free operator
+    shape = mesh.dof_shape(2)
+    mask = np.asarray(op.mask_np).reshape(-1)
+    for i in range(0, n, 7):
+        e = np.zeros(n)
+        e[i] = 1.0
+        di = float(np.asarray(op.apply(jnp.asarray(e.reshape(shape)))
+                              ).reshape(-1)[i])
+        expected = di if mask[i] else 1.0
+        np.testing.assert_allclose(d[i], expected, rtol=1e-11, atol=1e-13)
+
+
+def test_coefficient_field():
+    """Piecewise coefficient multiplies the Laplace term."""
+    mesh = StructuredMesh([2, 2], [0, 0], [1, 1], refinement=1)
+
+    def coeff(pts):
+        return np.where(pts[..., 0] < 0.5, 2.0, 1.0)
+
+    op_c = LaplaceMassOperator(mesh, 1, 2, 0.0, 1.0, coefficient=coeff)
+    op_1 = LaplaceMassOperator(mesh, 1, 2, 0.0, 1.0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(mesh.dof_shape(1)))
+    y_c = np.asarray(op_c.apply(x))
+    y_1 = np.asarray(op_1.apply(x))
+    assert not np.allclose(y_c, y_1)
+    # energy with coefficient >= energy without (coeff >= 1)
+    assert float(jnp.sum(x * op_c.apply(x))) >= float(jnp.sum(x * op_1.apply(x))) - 1e-12
