@@ -1,0 +1,157 @@
+"""Heat/wave convergence driver: the tp_01 application rebuilt TPU-native
+(reference tests/tp_01.cc).  One call = one (refinement, degree) cycle:
+build mesh/operators/tables, march the time loop, return errors + iteration
+counts for the convergence tables.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ErrorCalculator
+from ..integrators import ForceAssembler, TimeIntegratorFO, TimeIntegratorWave
+from ..mesh.grid import StructuredMesh
+from ..ops.spatial import LaplaceMassOperator
+from ..problems import heat as heat_problem
+from ..system import SystemMatrix
+from ..time.tables import get_fe_time_weights, get_fe_time_weights_wave
+from ..types import ProblemType, TimeStepType
+
+
+@dataclass
+class CycleResult:
+    n_cells: int
+    n_dofs: int
+    n_blocks: int
+    n_timesteps: int
+    total_iterations: int
+    avg_iterations: float
+    l2_l2: float
+    linf_linf: float
+    l2_h1: float
+
+    @property
+    def st_dofs(self):
+        return self.n_timesteps * self.n_dofs * self.n_blocks
+
+
+def run_heat_cycle(refinement: int, fe_degree: int,
+                   type_: TimeStepType = TimeStepType.DG,
+                   problem: ProblemType = ProblemType.heat,
+                   n_timesteps_at_once: int = 2,
+                   subdivisions=(1, 1), lower=(0.0, 0.0), upper=(1.0, 1.0),
+                   end_time: float = 1.0, frequency: float = 1.0,
+                   preconditioner_factory=None, gmres_maxiter: int = 100,
+                   rel_tol: float = 1e-12,
+                   extrapolate: bool = True) -> CycleResult:
+    """One convergence cycle (reference tp_01.cc:56-725).
+
+    preconditioner_factory(ctx) -> callable: builds the STMG preconditioner
+    from the cycle context dict; None runs unpreconditioned FGMRES.
+    """
+    dim = len(subdivisions)
+    is_cgp = type_ == TimeStepType.CGP
+    space_degree = fe_degree + 1
+    n_q = space_degree + 1
+    nt_dofs = fe_degree if is_cgp else fe_degree + 1
+    n_blocks = nt_dofs * n_timesteps_at_once
+
+    mesh = StructuredMesh(subdivisions, lower, upper, refinement=refinement)
+    # reference tp_01.cc:87,105-108: timestep from the UNREFINED cell size
+    spc_step = mesh.coarse_cell_diameter / np.sqrt(dim)
+    n_steps = int(end_time / spc_step)
+    time_step = end_time * 2.0 ** (-(refinement + 1)) / n_steps
+
+    K = LaplaceMassOperator(mesh, space_degree, n_q, 0.0, 1.0)
+    M = LaplaceMassOperator(mesh, space_degree, n_q, 1.0, 0.0)
+
+    Alpha_1, Beta_1, Gamma_1, Zeta_1 = get_fe_time_weights(
+        type_, fe_degree, time_step, 1)
+    Alpha, Beta, Gamma, Zeta = get_fe_time_weights(
+        type_, fe_degree, time_step, n_timesteps_at_once)
+    zero_col = np.zeros_like(Gamma)
+
+    f = frequency
+    if problem == ProblemType.wave:
+        A_lhs, B_lhs, rhs_uK, rhs_uM, rhs_vM = get_fe_time_weights_wave(
+            type_, Alpha_1, Beta_1, Gamma_1, Zeta_1, n_timesteps_at_once)
+        matrix = SystemMatrix(K, M, A_lhs, B_lhs)
+        rhs_matrix = SystemMatrix(K, M, rhs_uK, rhs_uM)
+        rhs_matrix_v = SystemMatrix(K, M, np.zeros_like(rhs_vM), rhs_vM)
+        rhs_fn = lambda p, t: heat_problem.wave_rhs(p, t, f)
+    else:
+        matrix = SystemMatrix(K, M, Alpha, Beta)
+        rhs_uK = Gamma if is_cgp else zero_col
+        rhs_uM = Zeta if is_cgp else Gamma
+        rhs_matrix = SystemMatrix(K, M, rhs_uK, rhs_uM)
+        rhs_fn = lambda p, t: heat_problem.rhs(p, t, f)
+
+    force = ForceAssembler(mesh, space_degree, n_q, rhs_fn, K.mask_np)
+
+    precond = None
+    if preconditioner_factory is not None:
+        ctx = dict(mesh=mesh, fe_degree=fe_degree, space_degree=space_degree,
+                   type_=type_, n_timesteps_at_once=n_timesteps_at_once,
+                   time_step=time_step, problem=problem, n_q=n_q,
+                   refinement=refinement)
+        precond = preconditioner_factory(ctx)
+
+    if problem == ProblemType.wave:
+        step = TimeIntegratorWave(type_, fe_degree, Alpha_1, Beta_1, Gamma_1,
+                                  Zeta_1, rel_tol, matrix, precond,
+                                  rhs_matrix, rhs_matrix_v, force,
+                                  n_timesteps_at_once, extrapolate,
+                                  maxiter=gmres_maxiter)
+    else:
+        step = TimeIntegratorFO(type_, fe_degree, Alpha_1, Gamma_1, rel_tol,
+                                matrix, precond, rhs_matrix, force,
+                                n_timesteps_at_once, extrapolate,
+                                maxiter=gmres_maxiter)
+
+    # the reference under-integrates the error norms with QGauss(fe_degree+1)
+    # (ErrorCalculator gets space_degree=fe_degree, tp_01.cc:809-815) -- we
+    # replicate this for golden parity
+    err = ErrorCalculator(mesh, type_, fe_degree, space_degree,
+                          lambda p, t: heat_problem.exact_solution(p, t, f),
+                          lambda p, t: heat_problem.exact_gradient(p, t, f),
+                          n_q=fe_degree + 1)
+
+    coords = jnp.asarray(mesh.dof_coordinates(space_degree))
+    # initial value: nodal interpolation of the exact solution at t=0
+    prev_x = heat_problem.exact_solution(coords, 0.0, f)
+    prev_v = heat_problem.wave_exact_v(coords, 0.0, f) \
+        if problem == ProblemType.wave else None
+
+    time = 0.0
+    l2 = 0.0
+    linf = -1.0
+    h1 = 0.0
+    total_iters = 0
+    n_slabs = 0
+    while time < end_time - 1e-12:
+        if problem == ProblemType.wave:
+            x, v, stats = step.solve_wave(prev_x, prev_v, time, time_step)
+            prev_v = v[-1]
+        else:
+            x, stats = step.solve(prev_x, time, time_step)
+        assert stats.converged, \
+            f"FGMRES stalled at t={time}: {stats}"
+        total_iters += stats.iterations
+        e = err.evaluate_error(time, time_step, x, prev_x,
+                               n_timesteps_at_once)
+        l2 += float(e["l2"])
+        h1 += float(e["h1_semi"])
+        linf = max(linf, float(e["linf"]))
+        prev_x = x[-1]
+        time += n_timesteps_at_once * time_step
+        n_slabs += 1
+
+    return CycleResult(
+        n_cells=mesh.n_cells, n_dofs=mesh.n_dofs(space_degree),
+        n_blocks=n_blocks, n_timesteps=n_slabs,
+        total_iterations=total_iters,
+        avg_iterations=total_iters / n_slabs,
+        l2_l2=float(np.sqrt(l2)), linf_linf=linf,
+        l2_h1=float(np.sqrt(h1)))

@@ -1,0 +1,196 @@
+"""Variational time-slab integrators: outer loop of the solver.
+
+TimeIntegratorFO (first order in time: heat, Stokes) assembles the slab RHS
+from the previous solution + force quadrature, then solves with FGMRES
+preconditioned by STMG; TimeIntegratorWave adds the dense velocity-recovery
+epilogue.  Mirrors reference include/time_integrators.h.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import quad_coordinates
+from .krylov import FGMRESResult, fgmres
+from .mesh.fe import shape_data_1d
+from .mesh.grid import StructuredMesh
+from .ops.spatial import cell_scatter, _sumfac
+from .time.tables import get_time_quad
+from .types import TimeStepType
+
+
+class ForceAssembler:
+    """Spatial RHS vector F_i(t) = int f(x,t) phi_i dx (the analogue of
+    VectorTools::create_right_hand_side with constraints, used per
+    time-quadrature point; reference include/time_integrators.h:73-110)."""
+
+    def __init__(self, mesh: StructuredMesh, degree: int, n_q: int,
+                 rhs_fn: Callable, mask, dtype=jnp.float64):
+        self.mesh = mesh
+        self.degree = degree
+        self.dim = mesh.dim
+        sd = shape_data_1d(degree, n_q)
+        self.S = jnp.asarray(sd.S, dtype)
+        geom = mesh.geometry(n_q, degree)
+        self.jxw = jnp.asarray(geom.jxw, dtype)
+        self.coords = jnp.asarray(quad_coordinates(mesh, n_q), dtype)
+        self.rhs_fn = rhs_fn
+        self.mask = jnp.asarray(np.asarray(mask), dtype)
+
+    def __call__(self, t) -> jnp.ndarray:
+        fq = self.rhs_fn(self.coords, t) * self.jxw
+        y = _sumfac([self.S] * self.dim, fq, self.dim, forward=False)
+        return cell_scatter(y, self.mesh.cells, self.degree) * self.mask
+
+
+@dataclass
+class SolveStats:
+    iterations: int
+    residual: float
+    converged: bool
+
+
+class TimeIntegratorFO:
+    """First-order-in-time slab integrator (reference TimeIntegratorFO,
+    include/time_integrators.h:300-321)."""
+
+    def __init__(self, type_: TimeStepType, time_degree: int,
+                 Alpha_1: np.ndarray, Gamma_1: np.ndarray,
+                 gmres_reltol: float, matrix, preconditioner,
+                 rhs_matrix, force: ForceAssembler,
+                 n_timesteps_at_once: int, extrapolate: bool = True,
+                 abstol: float = 1e-12, maxiter: int = 100):
+        self.type_ = type_
+        self.time_degree = time_degree
+        self.quad_time = get_time_quad(type_, time_degree)[0]
+        self.Alpha_1 = np.asarray(Alpha_1)
+        self.Gamma_1 = np.asarray(Gamma_1)
+        self.reltol = gmres_reltol
+        self.abstol = abstol
+        self.maxiter = maxiter
+        self.matrix = matrix
+        self.preconditioner = preconditioner
+        self.rhs_matrix = rhs_matrix
+        self.force = force
+        self.n_timesteps_at_once = n_timesteps_at_once
+        self.nt_dofs = (time_degree + 1 if type_ == TimeStepType.DG
+                        else time_degree)
+        self.extrapolate = extrapolate
+        self._solve_jit = jax.jit(self._solve_impl)
+
+    # reference include/time_integrators.h:73-110 (exploits diagonal Alpha)
+    def assemble_force(self, time, time_step) -> jnp.ndarray:
+        nt = self.nt_dofs
+        n_blocks = nt * self.n_timesteps_at_once
+        parts = [None] * n_blocks
+        for it in range(self.n_timesteps_at_once):
+            for j, tq in enumerate(self.quad_time):
+                t = time + time_step * it + time_step * tq
+                F = self.force(t)
+                if self.type_ == TimeStepType.DG:
+                    b = it * nt + j
+                    parts[b] = F * self.Alpha_1[j, j] if parts[b] is None \
+                        else parts[b] + F * self.Alpha_1[j, j]
+                else:
+                    if j == 0:
+                        for i in range(nt):
+                            b = it * nt + i
+                            c = -self.Gamma_1[i, 0]
+                            parts[b] = F * c if parts[b] is None \
+                                else parts[b] + F * c
+                    else:
+                        b = it * nt + j - 1
+                        c = self.Alpha_1[j - 1, j - 1]
+                        parts[b] = F * c if parts[b] is None \
+                            else parts[b] + F * c
+        return jnp.stack(parts)
+
+    def _extrapolate(self, prev_x):
+        n_blocks = self.nt_dofs * self.n_timesteps_at_once
+        if self.extrapolate:
+            return jnp.broadcast_to(prev_x, (n_blocks,) + prev_x.shape)
+        return jnp.zeros((n_blocks,) + prev_x.shape, prev_x.dtype)
+
+    def _solve_impl(self, prev_x, time, time_step):
+        rhs = self.rhs_matrix.vmult(prev_x[None])
+        rhs = rhs + self.assemble_force(time, time_step)
+        x0 = self._extrapolate(prev_x)
+        res = fgmres(self.matrix.vmult, rhs, x0,
+                     precondition=self.preconditioner,
+                     maxiter=self.maxiter, abstol=self.abstol,
+                     reltol=self.reltol)
+        return res
+
+    def solve(self, prev_x: jnp.ndarray, time: float,
+              time_step: float) -> tuple[jnp.ndarray, SolveStats]:
+        res: FGMRESResult = self._solve_jit(prev_x, jnp.asarray(time),
+                                            jnp.asarray(time_step))
+        return res.x, SolveStats(int(res.iterations), float(res.residual),
+                                 bool(res.converged))
+
+
+class TimeIntegratorWave(TimeIntegratorFO):
+    """Wave integrator: u-solve + dense v-recovery epilogue
+    (reference include/time_integrators.h:400-447)."""
+
+    def __init__(self, type_: TimeStepType, time_degree: int,
+                 Alpha_1, Beta_1, Gamma_1, Zeta_1,
+                 gmres_reltol: float, matrix, preconditioner,
+                 rhs_matrix, rhs_matrix_v, force: ForceAssembler,
+                 n_timesteps_at_once: int, extrapolate: bool = True,
+                 abstol: float = 1e-12, maxiter: int = 100):
+        super().__init__(type_, time_degree, Alpha_1, Gamma_1, gmres_reltol,
+                         matrix, preconditioner, rhs_matrix, force,
+                         n_timesteps_at_once, extrapolate, abstol, maxiter)
+        self.rhs_matrix_v = rhs_matrix_v
+        Ainv = np.linalg.inv(np.asarray(Alpha_1))
+        self.AixB = Ainv @ np.asarray(Beta_1)
+        self.AixG = Ainv @ np.asarray(Gamma_1)
+        self.AixZ = Ainv @ np.asarray(Zeta_1)
+        if type_ == TimeStepType.DG:
+            self.AixG = -self.AixG
+        else:
+            self.AixZ = -self.AixZ
+        self._solve_wave_jit = jax.jit(self._solve_wave_impl)
+
+    def _solve_wave_impl(self, prev_u, prev_v, time, time_step):
+        rhs = self.rhs_matrix.vmult(prev_u[None])
+        rhs = rhs + self.rhs_matrix_v.vmult(prev_v[None])
+        rhs = rhs + self.assemble_force(time, time_step)
+        x0 = self._extrapolate(prev_u)
+        res = fgmres(self.matrix.vmult, rhs, x0,
+                     precondition=self.preconditioner,
+                     maxiter=self.maxiter, abstol=self.abstol,
+                     reltol=self.reltol)
+        u = res.x
+        nt = self.AixB.shape[0]
+        AixB = jnp.asarray(self.AixB, u.dtype)
+        AixG = jnp.asarray(self.AixG, u.dtype)
+        AixZ = jnp.asarray(self.AixZ, u.dtype)
+        v_steps = []
+        for it in range(self.n_timesteps_at_once):
+            prev_u_ = prev_u if it == 0 else u[it * nt - 1]
+            v_it = jnp.einsum("ij,j...->i...", AixB, u[it * nt:(it + 1) * nt])
+            if self.type_ == TimeStepType.DG:
+                v_it = v_it + AixG[:, 0].reshape((-1,) + (1,) * prev_u_.ndim) \
+                    * prev_u_[None]
+            else:
+                prev_v_ = prev_v if it == 0 else v_steps[-1][-1]
+                v_it = (v_it
+                        + AixG[:, 0].reshape((-1,) + (1,) * prev_u_.ndim)
+                        * prev_v_[None]
+                        + AixZ[:, 0].reshape((-1,) + (1,) * prev_u_.ndim)
+                        * prev_u_[None])
+            v_steps.append(v_it)
+        v = jnp.concatenate(v_steps, axis=0)
+        return res, u, v
+
+    def solve_wave(self, prev_u, prev_v, time, time_step):
+        res, u, v = self._solve_wave_jit(prev_u, prev_v, jnp.asarray(time),
+                                         jnp.asarray(time_step))
+        return u, v, SolveStats(int(res.iterations), float(res.residual),
+                                bool(res.converged))

@@ -1,0 +1,165 @@
+"""Jittable Krylov solvers: flexible GMRES (outer solver) and fixed-iteration
+left-preconditioned GMRES (coarse-grid solver).
+
+Mirrors the reference's solver semantics (deal.II SolverFGMRES with
+ReductionControl(200, abstol, reltol), include/time_integrators.h:56-59):
+convergence when ||r|| < max(abstol, reltol * ||r0||), checked on the Givens
+residual estimate each iteration; iteration count returned.
+
+Design for XLA: fixed-size Krylov basis arrays + lax.while_loop; dynamic
+"loop over previous vectors" is replaced by full-basis matmuls against
+zero-initialized rows (mathematically identical, MXU-friendly).  The
+preconditioner is an arbitrary traceable callable (here: the full STMG
+V-cycle), compiled into the same program.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FGMRESResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray      # int32
+    residual: jnp.ndarray        # final residual estimate
+    converged: jnp.ndarray       # bool
+
+
+def _vdot(a, b):
+    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+
+
+def _norm(a):
+    return jnp.sqrt(jnp.real(_vdot(a, a)))
+
+
+def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+           precondition: Callable | None = None, maxiter: int = 100,
+           abstol: float = 1e-12, reltol: float = 1e-12) -> FGMRESResult:
+    """Flexible GMRES without restarting (basis size == maxiter; the
+    reference uses basis 100 with <=200 iterations but its configured solves
+    converge well within one cycle)."""
+    if precondition is None:
+        precondition = lambda v: v
+    dtype = b.dtype
+    shape = b.shape
+    n = b.size
+    m = maxiter
+
+    r0 = b - A(x0)
+    beta = _norm(r0)
+    tol = jnp.maximum(abstol, reltol * beta)
+
+    V = jnp.zeros((m + 1, n), dtype)
+    Z = jnp.zeros((m, n), dtype)
+    H = jnp.zeros((m + 1, m), dtype)   # Givens-rotated (upper triangular) R
+    cs = jnp.zeros(m, dtype)
+    sn = jnp.zeros(m, dtype)
+    g = jnp.zeros(m + 1, dtype)
+    g = g.at[0].set(beta)
+    V = V.at[0].set(jnp.where(beta > 0, (r0 / jnp.where(beta == 0, 1, beta)
+                                         ).reshape(-1), 0))
+
+    def cond(state):
+        j, V, Z, H, cs, sn, g, res = state
+        return (j < m) & (res > tol)
+
+    def body(state):
+        j, V, Z, H, cs, sn, g, res = state
+        v = V[j].reshape(shape)
+        z = precondition(v)
+        w = A(z).reshape(-1)
+        Z = Z.at[j].set(z.reshape(-1))
+
+        # classical Gram-Schmidt with one reorthogonalization; rows > j of V
+        # are zero so the full-basis contraction is exact
+        h1 = V @ w
+        w = w - V.T @ h1
+        h2 = V @ w
+        w = w - V.T @ h2
+        h = h1 + h2
+        wnorm = jnp.linalg.norm(w)
+        h = h.at[j + 1].add(wnorm)
+        V = V.at[j + 1].set(jnp.where(wnorm > 0, w / jnp.where(
+            wnorm == 0, 1, wnorm), 0))
+
+        # apply the existing Givens rotations to the new column
+        def rot_body(i, hcol):
+            hi = hcol[i]
+            hip = hcol[i + 1]
+            new_hi = cs[i] * hi + sn[i] * hip
+            new_hip = -sn[i] * hi + cs[i] * hip
+            pred = i < j
+            hcol = hcol.at[i].set(jnp.where(pred, new_hi, hi))
+            hcol = hcol.at[i + 1].set(jnp.where(pred, new_hip, hip))
+            return hcol
+
+        h = jax.lax.fori_loop(0, m, rot_body, h)
+
+        # new rotation zeroing h[j+1]
+        denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+        c_new = jnp.where(denom > 0, h[j] / jnp.where(denom == 0, 1, denom), 1.0)
+        s_new = jnp.where(denom > 0, h[j + 1] / jnp.where(denom == 0, 1, denom), 0.0)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        h = h.at[j].set(denom)
+        h = h.at[j + 1].set(0.0)
+        H = H.at[:, j].set(h[: m + 1])
+
+        g_j = g[j]
+        g = g.at[j].set(c_new * g_j)
+        g = g.at[j + 1].set(-s_new * g_j)
+        res = jnp.abs(g[j + 1])
+        return j + 1, V, Z, H, cs, sn, g, res
+
+    state = (jnp.asarray(0, jnp.int32), V, Z, H, cs, sn, g, beta)
+    j, V, Z, H, cs, sn, g, res = jax.lax.while_loop(cond, body, state)
+
+    # solve the (padded) triangular system: unused rows get identity
+    mask = jnp.arange(m) < j
+    R = H[:m, :m]
+    R = jnp.where(jnp.logical_and(mask[None, :], mask[:, None]), R,
+                  jnp.eye(m, dtype=dtype))
+    rhs = jnp.where(mask, g[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
+    x = x0 + (Z.T @ y).reshape(shape)
+    return FGMRESResult(x=x, iterations=j, residual=res, converged=res <= tol)
+
+
+def gmres_fixed_left(A: Callable, b: jnp.ndarray, precondition: Callable,
+                     n_iter: int) -> jnp.ndarray:
+    """Left-preconditioned GMRES with exactly n_iter iterations, zero initial
+    guess (the reference's coarse-grid solver: deal.II SolverGMRES with
+    IterationNumberControl(maxiter=10, abstol=1e-20), stmg.h:1240-1302)."""
+    shape = b.shape
+    dtype = b.dtype
+    m = n_iter
+    pb = precondition(b).reshape(-1)
+    beta = jnp.linalg.norm(pb)
+    V = jnp.zeros((m + 1, b.size), dtype)
+    V = V.at[0].set(jnp.where(beta > 0, pb / jnp.where(beta == 0, 1, beta), 0))
+    Hc = jnp.zeros((m + 1, m), dtype)
+
+    def body(j, carry):
+        V, Hc = carry
+        w = precondition(A(V[j].reshape(shape))).reshape(-1)
+        h1 = V @ w
+        w = w - V.T @ h1
+        h2 = V @ w
+        w = w - V.T @ h2
+        h = h1 + h2
+        wnorm = jnp.linalg.norm(w)
+        h = h.at[j + 1].add(wnorm)
+        V = V.at[j + 1].set(jnp.where(wnorm > 0, w / jnp.where(
+            wnorm == 0, 1, wnorm), 0))
+        Hc = Hc.at[:, j].set(h)
+        return V, Hc
+
+    V, Hc = jax.lax.fori_loop(0, m, body, (V, Hc))
+    # least squares min || beta e1 - H y ||
+    e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+    y, *_ = jnp.linalg.lstsq(Hc, e1)
+    return (V[:m].T @ y).reshape(shape)

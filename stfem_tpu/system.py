@@ -1,0 +1,112 @@
+"""Space-time slab system operator: (Alpha (x) K + Beta (x) M) x.
+
+TPU-native design: the block vector is one dense array [n_blocks, *dofshape].
+Instead of looping spatial applies per block (reference SystemMatrix::vmult,
+include/operators.h:536-559), the whole batch flows through ONE fused
+gather -> evaluate -> quadrature -> integrate -> scatter pass, with the tiny
+Alpha/Beta mixing matrices applied AT THE QUADRATURE LEVEL as matmuls over the
+block axis -- so the slab operator costs one spatial sweep, not two, and the
+block-mixing runs on the MXU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter, _sumfac
+
+
+class SystemMatrix:
+    """dst = (Alpha (x) K + Beta (x) M) src for a mass operator M and
+    stiffness-type operator K sharing one mesh/degree/quadrature.
+
+    K_op must be the laplace operator (laplace_scaling=1, mass_scaling=0),
+    M_op the mass operator (1, 0); their coefficient tables are honored.
+    Alpha/Beta may be (n_blocks, n_blocks) for the LHS or (n_blocks, 1)
+    columns for the previous-slab RHS coupling (vmult_slice).
+    """
+
+    def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
+                 Alpha, Beta):
+        assert K_op.mesh is M_op.mesh and K_op.degree == M_op.degree
+        self.K = K_op
+        self.M = M_op
+        self.dtype = K_op.dtype
+        self.Alpha = jnp.asarray(np.asarray(Alpha), self.dtype)
+        self.Beta = jnp.asarray(np.asarray(Beta), self.dtype)
+        self.alpha_is_zero = bool(np.all(np.asarray(Alpha) == 0.0))
+        self.beta_is_zero = bool(np.all(np.asarray(Beta) == 0.0))
+        self.n_blocks = self.Alpha.shape[0]
+
+    @property
+    def dof_shape(self):
+        return self.K.dof_shape
+
+    def _fused_apply(self, x: jnp.ndarray, Alpha, Beta,
+                     alpha_zero: bool, beta_zero: bool) -> jnp.ndarray:
+        """x: [n_src_blocks, *dofshape] -> [n_dst_blocks, *dofshape]."""
+        K, M = self.K, self.M
+        dim, k = K.dim, K.degree
+        cells = K.cells
+        S, D = K.S, K.D
+
+        u = cell_gather(x * K.mask, cells, k)
+        acc = None
+        if not beta_zero:
+            w = M.jxw if M.coeff is None else M.jxw * M.coeff
+            val = _sumfac([S] * dim, u, dim)
+            val = jnp.einsum("ji,i...->j...", Beta, val) * w
+            acc = _sumfac([S] * dim, val, dim, forward=False)
+        if not alpha_zero:
+            w = K.jxw if K.coeff is None else K.jxw * K.coeff
+            ghat = []
+            for e in range(dim):
+                mats = [D if d == e else S for d in range(dim)]
+                ghat.append(_sumfac(mats, u, dim))
+            if K.jinv_diag is not None:
+                for e in range(dim):
+                    t = jnp.einsum("ji,i...->j...", Alpha, ghat[e]) * (
+                        w * K.jinv_diag[e] ** 2)
+                    mats = [D if d == e else S for d in range(dim)]
+                    contrib = _sumfac(mats, t, dim, forward=False)
+                    acc = contrib if acc is None else acc + contrib
+            else:
+                ji = K.jinv
+                gmix = [jnp.einsum("ji,i...->j...", Alpha, g) for g in ghat]
+                gphys = [sum(gmix[e] * ji[..., e, d] for e in range(dim)) * w
+                         for d in range(dim)]
+                for e in range(dim):
+                    t = sum(gphys[d] * ji[..., e, d] for d in range(dim))
+                    mats = [D if d == e else S for d in range(dim)]
+                    contrib = _sumfac(mats, t, dim, forward=False)
+                    acc = contrib if acc is None else acc + contrib
+        if acc is None:
+            return jnp.zeros((Alpha.shape[0],) + tuple(self.dof_shape),
+                             self.dtype)
+        y = cell_scatter(acc, cells, k)
+        return y * K.mask
+
+    def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._fused_apply(x, self.Alpha, self.Beta,
+                                 self.alpha_is_zero, self.beta_is_zero)
+
+    def Tvmult(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._fused_apply(x, self.Alpha.T, self.Beta.T,
+                                 self.alpha_is_zero, self.beta_is_zero)
+
+    def vmult_slice(self, prev: jnp.ndarray) -> jnp.ndarray:
+        """RHS assembly: dst_j = Alpha[j,0] K prev + Beta[j,0] M prev;
+        prev has shape [*dofshape] (reference vmult_slice_add,
+        include/operators.h:585-611)."""
+        return self._fused_apply(prev[None], self.Alpha, self.Beta,
+                                 self.alpha_is_zero, self.beta_is_zero)
+
+    def diagonal(self) -> jnp.ndarray:
+        """Block-diagonal: diag_j = Alpha[j,j] diag(K) + Beta[j,j] diag(M);
+        reference include/operators.h:613-640."""
+        dK = self.K.diagonal()
+        dM = self.M.diagonal()
+        a = jnp.diagonal(self.Alpha)
+        b = jnp.diagonal(self.Beta)
+        lead = (self.n_blocks,) + (1,) * self.K.dim
+        return (a.reshape(lead) * dK[None] + b.reshape(lead) * dM[None])
