@@ -20,6 +20,23 @@ from ..time.tables import get_fe_time_weights, get_fe_time_weights_wave
 from ..types import ProblemType, TimeStepType
 
 
+def stmg_preconditioner_factory(dtype=None, params=None, **build_kwargs):
+    """preconditioner_factory building the reference-default STMG V-cycle
+    (float32 preconditioner under the f64 outer solve, tp_01.cc:801-806)."""
+    import jax.numpy as jnp
+    from ..stmg.gmg import build_stmg
+
+    def factory(ctx):
+        pdtype = dtype if dtype is not None else jnp.float32
+        gmg = build_stmg(ctx["mesh"], ctx["fe_degree"], ctx["space_degree"],
+                         ctx["type_"], ctx["n_timesteps_at_once"],
+                         ctx["time_step"], problem=ctx["problem"],
+                         params=params, dtype=pdtype, **build_kwargs)
+        return gmg.vmult
+
+    return factory
+
+
 @dataclass
 class CycleResult:
     n_cells: int

@@ -1,0 +1,311 @@
+"""Space-time multigrid preconditioner (the reference's GMG, stmg.h:1047-1419)
+rebuilt TPU-native.
+
+One GMG object owns the whole hierarchy: per-level slab operators (in reduced
+precision), cell-Vanka patch inverses, Relaxation/Chebyshev/Identity smoother
+wiring with deterministic power-iteration eigenvalue estimates, separable
+space transfers and dense time transfers.  vmult() is ONE V-cycle with
+deal.II Multigrid semantics:
+
+  pre-smooth:  apply() -- u = S(d), then (steps2-1) x (u += S(d - A u))
+  post-smooth: smooth() -- steps2 x (u += S(d - A u))
+  steps2 = smoothing_steps * 2^(max_level - level) when `variable`
+  coarse:     apply() of the coarsest smoother (default), or fixed-iteration
+              left-preconditioned GMRES (coarse_grid_smoother_type != Smoother)
+
+The whole V-cycle is pure traceable JAX: it compiles into the FGMRES solve.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..krylov import gmres_fixed_left
+from ..mesh.grid import StructuredMesh
+from ..ops.spatial import LaplaceMassOperator
+from ..system import SystemMatrix
+from ..time.mg_seq import (get_mg_sequence, get_poly_mg_sequence,
+                           get_precondition_stmg_types)
+from ..time.tables import (get_fe_time_weights_sequence,
+                           get_fe_time_weights_wave,
+                           get_fe_time_weights_wave_sequence)
+from ..types import (CoarseningType, MGType, PolynomialCoarseningSequenceType,
+                     ProblemType, SupportedSmoothers, TimeStepType)
+from .smoother import (ChebyshevSmoother, IdentitySmoother, RelaxationSmoother,
+                       chebyshev_parameters, estimate_eigenvalues,
+                       relaxation_parameters)
+from .transfers import (SpaceTransfer, TimeTransfer, h_prolongation_global_1d,
+                        p_prolongation_global_1d)
+from .vanka import PreconditionVanka
+
+
+@dataclass
+class GMGParams:
+    """Mirror of PreconditionerGMGAdditionalData (reference parameters.h:12-31)."""
+    smoothing_range: float = 1.0
+    smoothing_degree: int = 5           # unused by the reference GMG wiring
+    smoothing_eig_cg_n_iterations: int = 20
+    smoothing_steps: int = 1
+    relaxation: float = 0.0             # 0.0 => estimate
+    coarse_grid_smoother_type: str = "Smoother"
+    smoother: SupportedSmoothers = SupportedSmoothers.Relaxation
+    coarse_grid_maxiter: int = 10
+    coarse_grid_abstol: float = 1e-20
+    coarse_grid_reltol: float = 1e-4
+    restrict_is_transpose_prolongate: bool = True
+    variable: bool = True
+    # deal.II safety factor on the power-iteration max-eigenvalue estimate.
+    # NOTE: iteration counts match the reference's goldens only to +-1-2
+    # because the estimate depends on dof ORDER through the deterministic
+    # start vector (lexicographic here vs deal.II's hierarchical numbering).
+    eig_safety_factor: float = 1.2
+    # True: Identity levels contribute nothing (u=0 pre-smooth, no post) --
+    # helps strongly-coupled systems (wave); False: deal.II-faithful
+    # MGSmootherPrecondition-with-PreconditionIdentity Richardson steps.
+    skip_identity_levels: bool = False
+
+
+@dataclass
+class _Level:
+    matrix: SystemMatrix
+    smoother: object
+    n_blocks: int
+    dof_shape: tuple
+
+
+class GMG:
+    def __init__(self, levels, transfers, params: GMGParams, dtype,
+                 precondition_sequence):
+        self.levels = levels
+        self.transfers = transfers
+        self.params = params
+        self.dtype = dtype
+        self.precondition_sequence = precondition_sequence
+        self.max_level = len(levels) - 1
+
+    def _steps2(self, level: int) -> int:
+        s = self.params.smoothing_steps
+        if self.params.variable:
+            s *= 2 ** (self.max_level - level)
+        return s
+
+    def _apply_smoother(self, level: int, rhs):
+        """MGSmootherPrecondition::apply (zero initial guess)."""
+        lvl = self.levels[level]
+        if self.params.skip_identity_levels and \
+                isinstance(lvl.smoother, IdentitySmoother):
+            return jnp.zeros_like(rhs)
+        u = lvl.smoother.vmult(rhs)
+        for _ in range(self._steps2(level) - 1):
+            u = u + lvl.smoother.vmult(rhs - lvl.matrix.vmult(u))
+        return u
+
+    def _post_smooth(self, level: int, u, rhs):
+        lvl = self.levels[level]
+        if self.params.skip_identity_levels and \
+                isinstance(lvl.smoother, IdentitySmoother):
+            return u
+        for _ in range(self._steps2(level)):
+            u = u + lvl.smoother.vmult(rhs - lvl.matrix.vmult(u))
+        return u
+
+    def _coarse_solve(self, defect):
+        if self.params.coarse_grid_smoother_type == "Smoother":
+            return self._apply_smoother(0, defect)
+        lvl = self.levels[0]
+        return gmres_fixed_left(lvl.matrix.vmult, defect,
+                                lvl.smoother.vmult,
+                                self.params.coarse_grid_maxiter)
+
+    def _level_v_step(self, level: int, defect):
+        if level == 0:
+            return self._coarse_solve(defect)
+        u = self._apply_smoother(level, defect)
+        r = defect - self.levels[level].matrix.vmult(u)
+        dc = self.transfers[level - 1].restrict(r)
+        uc = self._level_v_step(level - 1, dc)
+        u = u + self.transfers[level - 1].prolongate(uc)
+        return self._post_smooth(level, u, defect)
+
+    def vmult(self, src):
+        """One V-cycle in the preconditioner precision; cast at the boundary
+        (reference stmg.h:1331-1344)."""
+        out_dtype = src.dtype
+        x = src.astype(self.dtype)
+        y = self._level_v_step(self.max_level, x)
+        return y.astype(out_dtype)
+
+    __call__ = vmult
+
+
+def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
+               type_: TimeStepType, n_timesteps_at_once: int,
+               time_step: float, problem: ProblemType = ProblemType.heat,
+               params: GMGParams | None = None, dtype=jnp.float32,
+               coarsening_type: CoarseningType = CoarseningType.space_and_time,
+               time_before_space: bool = False,
+               space_time_level_first: bool = True,
+               use_pmg: bool = True,
+               fe_degree_min: int | None = None,
+               n_timesteps_at_once_min: int | None = None,
+               space_degree_min: int = 1,
+               poly_coarsening=PolynomialCoarseningSequenceType.bisect,
+               laplace_coefficient=None) -> GMG:
+    """Assemble the full STMG hierarchy for a heat/wave cycle.
+
+    Level-ladder conventions follow the reference goldens (tp_01.output):
+    the space p-sequence bisects the ACTUAL space degree down to
+    space_degree_min=1 (see SURVEY.md section 6 notes on the golden-era
+    p-sequence), the time k-sequence bisects fe_degree down to fe_degree_min.
+    """
+    if params is None:
+        params = GMGParams()
+    is_cgp = type_ == TimeStepType.CGP
+    if fe_degree_min is None:
+        fe_degree_min = max(fe_degree - 1, 1 if is_cgp else 0)
+    if n_timesteps_at_once_min is None:
+        n_timesteps_at_once_min = max(n_timesteps_at_once // 2, 1)
+
+    n_sp_lvl = mesh_fine.refinement + 1
+    meshes = [StructuredMesh(mesh_fine.subdivisions, mesh_fine.lower,
+                             mesh_fine.upper, refinement=r,
+                             distort=mesh_fine.distort)
+              for r in range(n_sp_lvl)]
+    poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
+                                     poly_coarsening)
+    poly_space = get_poly_mg_sequence(space_degree, space_degree_min,
+                                      poly_coarsening)
+    mg_type_level = get_mg_sequence(
+        n_sp_lvl, poly_time, poly_space, n_timesteps_at_once,
+        n_timesteps_at_once_min, MGType.tau, coarsening_type,
+        time_before_space, use_pmg, space_time_level_first)
+    precond_seq = get_precondition_stmg_types(
+        mg_type_level, coarsening_type, time_before_space,
+        space_time_level_first, params.smoother)
+
+    if problem == ProblemType.wave:
+        fetw = get_fe_time_weights_wave_sequence(
+            type_, time_step, n_timesteps_at_once, mg_type_level, poly_time)
+    else:
+        fetw = get_fe_time_weights_sequence(
+            type_, time_step, n_timesteps_at_once, mg_type_level, poly_time)
+
+    n_levels = len(mg_type_level) + 1
+    # walk level state from fine to coarse
+    mesh_idx = [0] * n_levels
+    spd_idx = [0] * n_levels
+    n_at_once = [0] * n_levels
+    ntd_idx = [0] * n_levels
+    mi, si, na, ti = n_sp_lvl - 1, len(poly_space) - 1, \
+        n_timesteps_at_once, len(poly_time) - 1
+    for l in range(n_levels - 1, -1, -1):
+        mesh_idx[l], spd_idx[l], n_at_once[l], ntd_idx[l] = mi, si, na, ti
+        if l > 0:
+            mgt = mg_type_level[l - 1]
+            if mgt == MGType.h:
+                mi -= 1
+            elif mgt == MGType.p:
+                si -= 1
+            elif mgt == MGType.k:
+                ti -= 1
+            elif mgt == MGType.tau:
+                na //= 2
+
+    levels = []
+    ops_cache = {}
+    for l in range(n_levels):
+        mesh_l = meshes[mesh_idx[l]]
+        deg_l = poly_space[spd_idx[l]]
+        key = (mesh_idx[l], deg_l)
+        if key not in ops_cache:
+            K = LaplaceMassOperator(mesh_l, deg_l, deg_l + 1, 0.0, 1.0,
+                                    dtype=dtype,
+                                    coefficient=laplace_coefficient)
+            M = LaplaceMassOperator(mesh_l, deg_l, deg_l + 1, 1.0, 0.0,
+                                    dtype=dtype)
+            ops_cache[key] = (K, M)
+        K, M = ops_cache[key]
+        Alpha_l = fetw[l][0]
+        Beta_l = fetw[l][1]
+        matrix = SystemMatrix(K, M, Alpha_l, Beta_l)
+        rt = poly_time[ntd_idx[l]]
+        nt_dofs_l = rt + 1 if type_ == TimeStepType.DG else rt
+        n_blocks = nt_dofs_l * n_at_once[l]
+        lvl = _Level(matrix=matrix, smoother=None, n_blocks=n_blocks,
+                     dof_shape=mesh_l.dof_shape(deg_l))
+        if precond_seq[l] == SupportedSmoothers.Identity:
+            lvl.smoother = IdentitySmoother()
+        else:
+            vanka = PreconditionVanka(K, M, Alpha_l, Beta_l, dtype=dtype)
+            if params.relaxation == 0.0 or \
+                    precond_seq[l] == SupportedSmoothers.Chebyshev:
+                if np.sum(K.mask_np) == 0:
+                    # degenerate level: every dof Dirichlet-constrained (e.g.
+                    # Q1 on the 1-cell base mesh); the operator is zero there
+                    # and the defect is always zero -- use omega = 1 like the
+                    # reference's estimate_relaxation (transfer_01.cc:268-271)
+                    info = None
+                else:
+                    info = estimate_eigenvalues(
+                        matrix.vmult, vanka.vmult,
+                        (n_blocks,) + tuple(lvl.dof_shape), K.mask_np, dtype,
+                        params.smoothing_eig_cg_n_iterations,
+                        params.eig_safety_factor)
+                    if not np.isfinite(info.max_eigenvalue) or \
+                            info.max_eigenvalue <= 0:
+                        info = None
+            if precond_seq[l] == SupportedSmoothers.Relaxation:
+                if params.relaxation != 0.0:
+                    omega = params.relaxation
+                elif info is None:
+                    omega = 1.0
+                else:
+                    omega = relaxation_parameters(info,
+                                                  params.smoothing_range)
+                lvl.smoother = RelaxationSmoother(matrix.vmult, vanka.vmult,
+                                                  omega,
+                                                  params.smoothing_steps)
+            else:
+                if info is None:
+                    theta, delta = 1.0, 0.5
+                else:
+                    theta, delta = chebyshev_parameters(
+                        info, params.smoothing_range)
+                lvl.smoother = ChebyshevSmoother(matrix.vmult, vanka.vmult,
+                                                 theta, delta,
+                                                 params.smoothing_steps)
+        levels.append(lvl)
+
+    transfers = []
+    for l in range(1, n_levels):
+        mgt = mg_type_level[l - 1]
+        mesh_hi = meshes[mesh_idx[l]]
+        mesh_lo = meshes[mesh_idx[l - 1]]
+        deg_hi = poly_space[spd_idx[l]]
+        deg_lo = poly_space[spd_idx[l - 1]]
+        if mgt == MGType.h:
+            P1ds = [h_prolongation_global_1d(mesh_lo.cells[d], deg_hi)
+                    for d in range(mesh_hi.dim)]
+            transfers.append(SpaceTransfer(
+                P1ds, mesh_hi.boundary_dof_mask(deg_hi),
+                mesh_lo.boundary_dof_mask(deg_lo), dtype))
+        elif mgt == MGType.p:
+            P1ds = [p_prolongation_global_1d(mesh_hi.cells[d], deg_lo, deg_hi)
+                    for d in range(mesh_hi.dim)]
+            transfers.append(SpaceTransfer(
+                P1ds, mesh_hi.boundary_dof_mask(deg_hi),
+                mesh_lo.boundary_dof_mask(deg_lo), dtype))
+        else:
+            rt_hi = poly_time[ntd_idx[l]]
+            rt_lo = poly_time[ntd_idx[l - 1]]
+            nt_hi = rt_hi + 1 if type_ == TimeStepType.DG else rt_hi
+            nt_lo = rt_lo + 1 if type_ == TimeStepType.DG else rt_lo
+            transfers.append(TimeTransfer(
+                type_, mgt, nt_hi, nt_lo, n_at_once[l],
+                params.restrict_is_transpose_prolongate, dtype))
+
+    gmg = GMG(levels, transfers, params, dtype, precond_seq)
+    gmg.mg_type_level = mg_type_level
+    return gmg

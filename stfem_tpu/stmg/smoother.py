@@ -1,0 +1,136 @@
+"""Relaxation / Chebyshev smoothers with deterministic power-iteration
+eigenvalue estimation (deal.II PreconditionRelaxation / PreconditionChebyshev
+semantics as configured by the reference GMG, stmg.h:1199-1238).
+
+Estimation (deal.II internal::estimate_eigenvalues, power_iteration path):
+  * initial guess per block: v_i = i mod 11, minus the block mean, zeroed on
+    constrained dofs (deal.II internal::set_initial_guess for distributed
+    vectors; dof ORDER differs from deal.II's so estimates agree only
+    statistically -- documented deviation)
+  * 20 power iterations on P*A; estimate = <v, P A v> with ||v|| = 1
+  * max_eig = 1.2 * estimate (safety factor), min_eig = estimate
+  * alpha = max_eig / smoothing_range if range > 1
+            else min(0.9 * max_eig, min_eig)
+  * relaxation omega = 2 / (alpha + max_eig)
+  * Chebyshev interval: theta = (max_eig + alpha)/2, delta = (max_eig-alpha)/2
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def initial_guess(shape_blocks, mask, dtype) -> jnp.ndarray:
+    """[n_blocks, *dofshape] deterministic high-frequency start vector."""
+    n_blocks = shape_blocks[0]
+    n = int(np.prod(shape_blocks[1:]))
+    v = (np.arange(n) % 11).astype(np.float64)
+    v = np.tile(v[None, :], (n_blocks, 1)).reshape(shape_blocks)
+    v = v * np.asarray(mask)[None]
+    v = v - v.mean(axis=tuple(range(1, len(shape_blocks))), keepdims=True)
+    v = v * np.asarray(mask)[None]
+    return jnp.asarray(v, dtype)
+
+
+def power_estimate(A: Callable, P: Callable, v0: jnp.ndarray,
+                   n_iterations: int = 20) -> float:
+    """deal.II internal::power_iteration: returns <v,(PA)v> after n its."""
+    def body(_, carry):
+        v, lam = carry
+        w = P(A(v))
+        lam = jnp.vdot(v.reshape(-1), w.reshape(-1))
+        v = w / jnp.linalg.norm(w.reshape(-1))
+        return v, lam
+
+    v = v0 / jnp.linalg.norm(v0.reshape(-1))
+    _, lam = jax.lax.fori_loop(0, n_iterations, body, (v, jnp.zeros(
+        (), v.dtype)))
+    return float(lam)
+
+
+@dataclass
+class EigInfo:
+    min_eigenvalue: float
+    max_eigenvalue: float
+
+
+def estimate_eigenvalues(A: Callable, P: Callable, shape_blocks, mask, dtype,
+                         n_iterations: int = 20,
+                         safety_factor: float = 1.2) -> EigInfo:
+    """The 1.2 safety factor on the max estimate follows deal.II's
+    estimate_eigenvalues; min = the raw power-iteration estimate."""
+    v0 = initial_guess(shape_blocks, mask, dtype)
+    est = power_estimate(A, P, v0, n_iterations)
+    return EigInfo(min_eigenvalue=est, max_eigenvalue=safety_factor * est)
+
+
+def relaxation_parameters(info: EigInfo, smoothing_range: float) -> float:
+    alpha = (info.max_eigenvalue / smoothing_range if smoothing_range > 1.0
+             else min(0.9 * info.max_eigenvalue, info.min_eigenvalue))
+    return 2.0 / (alpha + info.max_eigenvalue)
+
+
+def chebyshev_parameters(info: EigInfo,
+                         smoothing_range: float) -> tuple[float, float]:
+    alpha = (info.max_eigenvalue / smoothing_range if smoothing_range > 1.0
+             else min(0.9 * info.max_eigenvalue, info.min_eigenvalue))
+    theta = (info.max_eigenvalue + alpha) / 2.0
+    delta = (info.max_eigenvalue - alpha) / 2.0
+    return theta, delta
+
+
+class RelaxationSmoother:
+    """x = 0; n_iterations of x += omega P (b - A x)
+    (deal.II PreconditionRelaxation.vmult)."""
+
+    def __init__(self, A: Callable, P: Callable, omega: float,
+                 n_iterations: int = 1):
+        self.A = A
+        self.P = P
+        self.omega = omega
+        self.n_iterations = n_iterations
+
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        x = self.omega * self.P(b)
+        for _ in range(self.n_iterations - 1):
+            x = x + self.omega * self.P(b - self.A(x))
+        return x
+
+
+class ChebyshevSmoother:
+    """deal.II PreconditionChebyshev.vmult (first-kind polynomial), zero
+    initial guess, `degree` preconditioner applications."""
+
+    def __init__(self, A: Callable, P: Callable, theta: float, delta: float,
+                 degree: int = 1):
+        self.A = A
+        self.P = P
+        self.theta = theta
+        self.delta = delta
+        self.degree = degree
+
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        x = self.P(b) * (1.0 / self.theta)
+        if self.degree == 1:
+            return x
+        x_old = jnp.zeros_like(x)
+        rhok = self.delta / self.theta
+        sigma = 2.0 * self.theta / self.delta
+        for _ in range(1, self.degree):
+            rho_new = 1.0 / (sigma - rhok)
+            factor1 = rho_new * rhok
+            factor2 = 2.0 * rho_new / self.delta
+            rhok = rho_new
+            r = b - self.A(x)
+            x_new = x + factor1 * (x - x_old) + factor2 * self.P(r)
+            x_old, x = x, x_new
+        return x
+
+
+class IdentitySmoother:
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        return b

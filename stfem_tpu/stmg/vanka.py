@@ -1,0 +1,157 @@
+"""Cell-wise Vanka patch smoother, TPU-native.
+
+The reference extracts per-cell submatrices of the assembled (Trilinos) K and
+M, builds the space-time patch matrix B = Alpha (x) K_loc + Beta (x) M_loc,
+row-scales by dof valence and inverts with Gauss-Jordan at setup; apply is
+gather residual -> dense solve -> scatter-add (include/stmg.h:619-907).
+
+Here there is no sparse-matrix library at all: element matrices come straight
+from quadrature (ops.spatial.element_matrices), the assembled coupling is
+reconstructed on-device in a dense *banded* form indexed by per-axis offsets
+in [-k, k], patches are one gather away, and the inverses are one batched
+jnp.linalg.inv -- everything dense, batched, MXU-shaped.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter
+
+
+def _band_offsets(dim: int, k: int) -> np.ndarray:
+    """All per-axis offset tuples in [-k, k]^dim, flattened index order."""
+    ax = np.arange(-k, k + 1)
+    grids = np.meshgrid(*([ax] * dim), indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1)  # (n_off, dim)
+
+
+def assemble_band(op: LaplaceMassOperator) -> jnp.ndarray:
+    """Assembled global matrix in banded form:
+    band[*dofshape, n_off] = A[g, g + offset], with unit diagonal on
+    constrained dofs.  n_off = (2k+1)^dim."""
+    k, dim, cells = op.degree, op.dim, op.cells
+    E = op.element_matrices()  # (C, A, A) with constrained rows/cols zeroed
+    C, A, _ = E.shape
+    dof_shape = op.dof_shape
+    n_off = (2 * k + 1) ** dim
+
+    # local index tuples a (A, dim); global dof strides
+    loc = np.stack(np.meshgrid(*([np.arange(k + 1)] * dim), indexing="ij"),
+                   -1).reshape(A, dim)
+    cell_idx = np.stack(np.meshgrid(*[np.arange(c) for c in cells],
+                                    indexing="ij"), -1).reshape(C, dim)
+    dof_strides = np.cumprod([1] + list(dof_shape[::-1]))[::-1][1:]  # row-major
+    # global flat dof per (cell, local)
+    gidx = ((cell_idx[:, None, :] * k + loc[None, :, :])
+            * dof_strides[None, None, :]).sum(-1)       # (C, A)
+    # offset flat index per (a, b): per-axis (b - a + k)
+    off = loc[None, :, :] - loc[:, None, :] + k          # (A, A, dim)
+    off_strides = np.cumprod([1] + [2 * k + 1] * (dim - 1))[::-1]
+    off_flat = (off * off_strides[None, None, :]).sum(-1)  # (A, A)
+
+    flat_idx = gidx[:, :, None] * n_off + off_flat[None, :, :]  # (C, A, A)
+    band = jnp.zeros(int(np.prod(dof_shape)) * n_off, op.dtype)
+    band = band.at[jnp.asarray(flat_idx.reshape(-1))].add(E.reshape(-1))
+    band = band.reshape(dof_shape + (n_off,))
+    # unit diagonal on constrained dofs
+    center = int((n_off - 1) // 2)
+    band = band.at[..., center].add(1.0 - op.mask)
+    return band
+
+
+def extract_patches(band: jnp.ndarray, cells: tuple[int, ...],
+                    k: int) -> jnp.ndarray:
+    """Patch submatrices P[C, A, A] = A_assembled[cell dofs x cell dofs]."""
+    dim = len(cells)
+    A = (k + 1) ** dim
+    n_off = (2 * k + 1) ** dim
+    dof_shape = band.shape[:-1]
+    loc = np.stack(np.meshgrid(*([np.arange(k + 1)] * dim), indexing="ij"),
+                   -1).reshape(A, dim)
+    C = int(np.prod(cells))
+    cell_idx = np.stack(np.meshgrid(*[np.arange(c) for c in cells],
+                                    indexing="ij"), -1).reshape(C, dim)
+    dof_strides = np.cumprod([1] + list(dof_shape[::-1]))[::-1][1:]
+    gidx = ((cell_idx[:, None, :] * k + loc[None, :, :])
+            * dof_strides[None, None, :]).sum(-1)       # (C, A)
+    off = loc[None, :, :] - loc[:, None, :] + k
+    off_strides = np.cumprod([1] + [2 * k + 1] * (dim - 1))[::-1]
+    off_flat = (off * off_strides[None, None, :]).sum(-1)  # (A, A)
+    flat_idx = gidx[:, :, None] * n_off + off_flat[None, :, :]
+    return band.reshape(-1)[jnp.asarray(flat_idx)]      # (C, A, A)
+
+
+def dof_valence(cells: tuple[int, ...], k: int) -> np.ndarray:
+    """Number of cells containing each dof (the reference's valence vector,
+    stmg.h:676-689)."""
+    dim = len(cells)
+    v = np.ones(())
+    out = np.ones(tuple(c * k + 1 for c in cells))
+    for d in range(dim):
+        ax = np.ones(cells[d] * k + 1)
+        if k > 0:
+            ax[k::k] = 2.0
+            ax[0] = 1.0
+            ax[-1] = 1.0
+        shape = [1] * dim
+        shape[d] = len(ax)
+        out = out * ax.reshape(shape)
+    return out
+
+
+class PreconditionVanka:
+    """Additive-Schwarz cell-patch preconditioner over the space-time slab.
+
+    B_c = Alpha (x) K_loc_c + Beta (x) M_loc_c (block-major rows: block index
+    major, cell dof minor -- the reference's layout, stmg.h:820-827),
+    row-scaled by valence, inverted batched at setup.
+    """
+
+    def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
+                 Alpha, Beta, dtype=None):
+        self.K_op = K_op
+        self.mesh = K_op.mesh
+        self.cells = K_op.cells
+        self.k = K_op.degree
+        self.dim = K_op.dim
+        self.dtype = dtype or K_op.dtype
+        Alpha = np.asarray(Alpha)
+        Beta = np.asarray(Beta)
+        self.n_blocks = Alpha.shape[0]
+
+        Kb = assemble_band(K_op)
+        Mb = assemble_band(M_op)
+        K_loc = extract_patches(Kb, self.cells, self.k)   # (C, A, A)
+        M_loc = extract_patches(Mb, self.cells, self.k)
+        A_ = jnp.asarray(Alpha, self.dtype)
+        B_ = jnp.asarray(Beta, self.dtype)
+        # B[c] = kron(Alpha, K_loc[c]) + kron(Beta, M_loc[c])
+        B = (jnp.einsum("ij,cab->ciajb", A_, K_loc.astype(self.dtype))
+             + jnp.einsum("ij,cab->ciajb", B_, M_loc.astype(self.dtype)))
+        C, A = K_loc.shape[0], K_loc.shape[1]
+        P = self.n_blocks * A
+        B = B.reshape(C, P, P)
+        # row scaling by valence (reference compute_block_matrix.h:134-137:
+        # each entry is multiplied by scaling[row dof])
+        val = dof_valence(self.cells, self.k)
+        vloc = cell_gather(jnp.asarray(val, self.dtype), self.cells,
+                           self.k).reshape(C, A)
+        vrows = jnp.tile(vloc, (1, self.n_blocks))
+        B = B * vrows[:, :, None]
+        self.Binv = jnp.linalg.inv(B)
+
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        """src: [n_blocks, *dofshape] residual -> additive patch updates."""
+        src = src.astype(self.dtype)
+        C = self.Binv.shape[0]
+        r = cell_gather(src, self.cells, self.k)   # [n_blocks, *cells, *loc]
+        nb = src.shape[0]
+        r = r.reshape(nb, C, -1)                   # [nb, C, A]
+        r = jnp.transpose(r, (1, 0, 2)).reshape(C, -1)   # [C, nb*A]
+        y = jnp.einsum("cij,cj->ci", self.Binv, r)
+        A = y.shape[1] // nb
+        y = y.reshape(C, nb, A).transpose(1, 0, 2)
+        y = y.reshape((nb,) + tuple(self.cells) + (self.k + 1,) * self.dim)
+        return cell_scatter(y, self.cells, self.k)
