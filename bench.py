@@ -1,0 +1,121 @@
+"""STMG solver throughput benchmark (BASELINE.json metric):
+3D heat, Q4 space x dG(2) time, space-time multigrid preconditioned FGMRES.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is sustained space-time DoF/s per chip for full slab solves (rel. residual
+1e-8) and vs_baseline compares against the reference's >1e9 DoF/s cluster
+figure (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
+
+Env knobs: STFEM_BENCH_CELLS (cells per axis, default 16),
+STFEM_BENCH_SLABS (timed slab solves, default 3).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stfem_tpu.integrators import ForceAssembler
+    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.problems import heat as heat_problem
+    from stfem_tpu.stmg.gmg import GMGParams, build_stmg
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+    from stfem_tpu.types import TimeStepType
+
+    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "16"))
+    n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "3"))
+    fe_degree = 2              # dG(2) in time
+    space_degree = 4           # Q4 in space
+    n_at_once = 1
+    dtype = jnp.float32
+
+    refinement = int(np.log2(cells_per_axis // 2))
+    mesh = StructuredMesh([2, 2, 2], [0.0] * 3, [1.0] * 3,
+                          refinement=refinement)
+    assert mesh.cells[0] == cells_per_axis
+    tau = 1.0 / 16.0
+
+    K = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 0.0, 1.0,
+                            dtype=dtype)
+    M = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 1.0, 0.0,
+                            dtype=dtype)
+    Alpha, Beta, Gamma, Zeta = get_fe_time_weights(
+        TimeStepType.DG, fe_degree, tau, n_at_once)
+    matrix = SystemMatrix(K, M, Alpha, Beta)
+    rhs_matrix = SystemMatrix(K, M, np.zeros_like(Gamma), Gamma)
+
+    t0 = time.time()
+    gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
+                     n_at_once, tau, dtype=dtype, fe_degree_min=1,
+                     params=GMGParams())
+    setup_time = time.time() - t0
+
+    force = ForceAssembler(mesh, space_degree, space_degree + 1,
+                           lambda p, t: heat_problem.rhs(p, t, 1.0),
+                           K.mask_np, dtype=dtype)
+    n_blocks = Alpha.shape[0]
+    shape = (n_blocks,) + mesh.dof_shape(space_degree)
+
+    @jax.jit
+    def solve_slab(prev_x, t):
+        rhs = rhs_matrix.vmult(prev_x[None])
+        # force at the three Radau points of the step (diagonal-Alpha rule)
+        from stfem_tpu.time.tables import get_time_quad
+        tq = get_time_quad(TimeStepType.DG, fe_degree)[0]
+        parts = [force(t + tau * float(q)) * float(Alpha[j, j])
+                 for j, q in enumerate(tq)]
+        rhs = rhs + jnp.stack(parts)
+        x0 = jnp.broadcast_to(prev_x, shape)
+        res = fgmres(matrix.vmult, rhs, x0, precondition=gmg.vmult,
+                     maxiter=40, abstol=1e-30, reltol=1e-8)
+        return res.x, res.iterations, res.residual, res.converged
+
+    coords = jnp.asarray(mesh.dof_coordinates(space_degree), dtype)
+    prev = heat_problem.exact_solution(coords, 0.0, 1.0).astype(dtype)
+
+    # warmup/compile
+    t0 = time.time()
+    x, iters, resid, conv = solve_slab(prev, jnp.asarray(0.0, dtype))
+    x.block_until_ready()
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    total_iters = 0
+    t = 0.0
+    for s in range(n_slabs):
+        x, iters, resid, conv = solve_slab(x[-1], jnp.asarray(t, dtype))
+        total_iters += int(iters)
+        t += tau
+    x.block_until_ready()
+    elapsed = time.time() - t0
+
+    st_dofs = int(np.prod(shape)) * n_slabs
+    dofs_per_sec = st_dofs / elapsed
+    info = dict(cells=mesh.n_cells, space_dofs=int(mesh.n_dofs(space_degree)),
+                n_blocks=n_blocks, slabs=n_slabs,
+                avg_iters=total_iters / n_slabs,
+                final_rel_residual=float(resid),
+                converged=bool(conv), setup_s=round(setup_time, 2),
+                compile_s=round(compile_time, 2),
+                solve_s=round(elapsed, 3))
+    print(json.dumps(info), flush=True)
+    print(json.dumps({
+        "metric": "stmg_slab_solve_throughput_3d_heat_q4_dg2",
+        "value": dofs_per_sec,
+        "unit": "space-time DoF/s/chip (rel 1e-8 slab solves)",
+        "vs_baseline": dofs_per_sec / 1.0e9,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""tp_01 application replica: heat & wave convergence/iteration tables from
+reference-format JSON configs (reference tests/tp_01.cc).
+
+CLI: python -m stfem_tpu.drivers.tp01 --file cfg.json --dim 2
+     [--no-precondition-float]
+Default (no --file) runs the reference's 8 shipped configs tf01..tf08
+against /root/reference/tests/json (or a copy) like tp_01.cc:818-826.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..config import Parameters
+from ..stmg.gmg import GMGParams
+from ..types import ProblemType, TimeStepType
+from ..utils.tables import ConvergenceTable
+from .heat import run_heat_cycle, stmg_preconditioner_factory
+
+
+def run_config(p: Parameters, precondition_float: bool = True,
+               out=sys.stdout):
+    import jax.numpy as jnp
+    table = ConvergenceTable()
+    itable_rows = []
+    k0 = p.fe_degree
+    for k in range(k0, k0 + p.n_deg_cycles):
+        iters_row = {"k \\ r": k}
+        for ref in range(p.refinement, p.refinement + p.n_ref_cycles):
+            factory = None
+            if p.space_time_mg:
+                factory = stmg_preconditioner_factory(
+                    dtype=jnp.float32 if precondition_float else jnp.float64,
+                    params=p.mg_data,
+                    coarsening_type=p.coarsening_type,
+                    time_before_space=p.time_before_space,
+                    space_time_level_first=p.space_time_level_first,
+                    use_pmg=p.use_pmg,
+                    # golden-era conventions (see SURVEY.md section 6):
+                    # time-k floor at degree >= 1, space-p bisect to Q1
+                    fe_degree_min=max(p.fe_degree_min, 1),
+                    poly_coarsening=p.poly_coarsening)
+            res = run_heat_cycle(
+                refinement=ref, fe_degree=k, type_=p.type,
+                problem=p.problem,
+                n_timesteps_at_once=p.n_timesteps_at_once,
+                subdivisions=p.subdivisions,
+                lower=p.hyperrect_lower_left,
+                upper=p.hyperrect_upper_right,
+                end_time=p.end_time, frequency=p.frequency,
+                preconditioner_factory=factory,
+                gmres_maxiter=100 if factory else 800,
+                rel_tol=p.rel_tol, extrapolate=p.extrapolate)
+            print(f":: Number of active cells: {res.n_cells}", file=out)
+            print(f":: Number of degrees of freedom: {res.n_dofs}", file=out)
+            print(f"Average GMRES iterations {res.avg_iterations:g} "
+                  f"({res.total_iterations} gmres_iterations / "
+                  f"{res.n_timesteps} timesteps)\n", file=out)
+            table.add_row(**{
+                "cells": res.n_cells, "s-dofs": res.n_dofs,
+                "t-dofs": res.n_blocks, "st-dofs": res.st_dofs,
+                "work": res.st_dofs // res.n_blocks * res.total_iterations,
+                "L∞-L∞": res.linf_linf,
+                "L2-L2": res.l2_l2, "L2-H1_semi": res.l2_h1})
+            iters_row[str(ref)] = res.avg_iterations
+        for c in ("L∞-L∞", "L2-L2", "L2-H1_semi"):
+            table.evaluate_convergence_rates(c)
+        print(f"Convergence table k={k}", file=out)
+        print(table.text(), file=out)
+        print("", file=out)
+        table.clear()
+        itable_rows.append(iters_row)
+    print("Iteration count table", file=out)
+    if itable_rows:
+        cols = list(itable_rows[0].keys())
+        print(" ".join(c.rjust(7) for c in cols), file=out)
+        for r in itable_rows:
+            print(" ".join(f"{r[c]:7.4f}" if isinstance(r[c], float)
+                           else str(r[c]).rjust(7) for c in cols), file=out)
+    print("", file=out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--file", "-f", default="default")
+    ap.add_argument("--dim", "-d", type=int, default=2)
+    ap.add_argument("--precondition_float", "-p", action="store_true",
+                    default=True)
+    ap.add_argument("--log_prefix", "-l", default="proc")
+    args = ap.parse_args(argv)
+
+    if args.file == "default":
+        test_dir = os.environ.get("STFEM_TESTDIR",
+                                  "/root/reference/tests/json")
+        configs = [("HEAT 2 steps at once DG", "tf01.json"),
+                   ("", "tf02.json"),
+                   ("HEAT single step", "tf03.json"),
+                   ("", "tf04.json"),
+                   ("WAVE 4 steps at once", "tf05.json"),
+                   ("", "tf06.json"),
+                   ("WAVE single step", "tf07.json"),
+                   ("", "tf08.json")]
+        for header, name in configs:
+            if header:
+                print(header)
+            p = Parameters.parse(os.path.join(test_dir, name), args.dim)
+            run_config(p, args.precondition_float)
+    else:
+        p = Parameters.parse(args.file, args.dim)
+        run_config(p, args.precondition_float)
+
+
+if __name__ == "__main__":
+    main()
