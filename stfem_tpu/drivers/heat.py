@@ -32,7 +32,7 @@ def stmg_preconditioner_factory(dtype=None, params=None, **build_kwargs):
                          ctx["type_"], ctx["n_timesteps_at_once"],
                          ctx["time_step"], problem=ctx["problem"],
                          params=params, dtype=pdtype, **build_kwargs)
-        return gmg.vmult
+        return gmg  # pytree module; callable via __call__ = vmult
 
     return factory
 

@@ -1,0 +1,308 @@
+"""Stokes convergence driver: the tp_03stokes application rebuilt TPU-native
+(reference tests/tp_03stokes.cc): Q_{k+1}^dim velocity x DGP(k) pressure,
+strong Dirichlet BCs, mean-pressure normalization, space-time errors for u
+(incl. Hdiv-semi) and p."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import quad_coordinates
+from ..krylov import FGMRESResult, fgmres
+from ..mesh.fe import shape_data_1d
+from ..mesh.fe_dgp import (dgp_gradients_at_tensor_gauss,
+                           dgp_values_at_tensor_gauss)
+from ..mesh.grid import StructuredMesh
+from ..ops.spatial import LaplaceMassOperator, _sumfac, cell_gather, cell_scatter
+from ..ops.stokes import StokesOperator
+from ..problems import stokes as stokes_problem
+from ..system_stokes import StokesSystemMatrix
+from ..time.quadrature import gauss
+from ..time.tables import get_fe_time_weights, get_time_basis, get_time_quad
+from ..types import TimeStepType
+
+
+@dataclass
+class StokesCycleResult:
+    n_cells: int
+    n_dofs_u: int
+    n_dofs_p: int
+    n_blocks: int
+    n_timesteps: int
+    total_iterations: int
+    avg_iterations: float
+    l2_l2_u: float
+    linf_linf_u: float
+    l2_h1_u: float
+    l2_hdiv_u: float
+    l2_l2_p: float
+    linf_linf_p: float
+    l2_h1_p: float
+
+
+class StokesErrorCalculator:
+    """u errors at QGauss(u_degree+1), p errors at QGauss(p_degree+1)
+    (reference tp_03stokes.cc:833-848)."""
+
+    def __init__(self, S: StokesOperator, type_: TimeStepType,
+                 time_degree: int, dtype=jnp.float64):
+        self.S = S
+        mesh = S.mesh
+        self.type_ = type_
+        self.nt = time_degree + 1 if type_ == TimeStepType.DG else time_degree
+        basis = get_time_basis(type_, time_degree)
+        tq, tw = gauss(time_degree + 1)
+        self.tq, self.tw = tq, tw
+        self.phi = basis.eval_matrix(tq)
+        dim = S.dim
+        # u evaluation (QGauss(u_degree+1))
+        nqu = S.u_degree + 1
+        sdu = shape_data_1d(S.u_degree, nqu)
+        self.Su = jnp.asarray(sdu.S, dtype)
+        self.Du = jnp.asarray(sdu.D, dtype)
+        gu = mesh.geometry(nqu, S.u_degree)
+        self.jxw_u = jnp.asarray(gu.jxw, dtype)
+        self.jinv = jnp.asarray(gu.jinv_diag, dtype)
+        self.coords_u = jnp.asarray(quad_coordinates(mesh, nqu), dtype)
+        # p evaluation (QGauss(p_degree+1))
+        nqp = S.p_degree + 1
+        self.Pq_err = jnp.asarray(dgp_values_at_tensor_gauss(
+            dim, S.p_degree, nqp), dtype)
+        self.dPq_err = jnp.asarray(dgp_gradients_at_tensor_gauss(
+            dim, S.p_degree, nqp), dtype)
+        gp = mesh.geometry(nqp, S.p_degree)
+        self.jxw_p = jnp.asarray(gp.jxw, dtype)
+        self.coords_p = jnp.asarray(quad_coordinates(mesh, nqp), dtype)
+        self.nqp = nqp
+
+    def _reconstruct(self, q_idx, xs, prev):
+        out = jnp.zeros_like(prev)
+        for i, v in enumerate(self.phi[q_idx]):
+            if v == 0.0:
+                continue
+            if self.type_ == TimeStepType.CGP:
+                blk = prev if i == 0 else xs[i - 1]
+            else:
+                blk = xs[i]
+            out = out + v * blk
+        return out
+
+    def evaluate(self, time, tau, u_time, p_time, prev_u, prev_p,
+                 n_at_once):
+        """u_time: [T, dim, *grid], p_time: [T, *cells, nploc]."""
+        S = self.S
+        dim = S.dim
+        res = dict(l2_u=0.0, linf_u=-1.0, h1_u=0.0, hdiv_u=0.0,
+                   l2_p=0.0, linf_p=-1.0, h1_p=0.0)
+        for it in range(n_at_once):
+            pu = prev_u if it == 0 else u_time[self.nt * it - 1]
+            pp = prev_p if it == 0 else p_time[self.nt * it - 1]
+            for q in range(len(self.tq)):
+                t = time + tau * it + self.tq[q] * tau
+                u = self._reconstruct(q, u_time[self.nt * it:], pu)
+                p = self._reconstruct(q, p_time[self.nt * it:], pp)
+                u = u * S.mask_u
+                # u values/grads at quad
+                vals, grads, divs = [], [], 0.0
+                for c in range(dim):
+                    uc = cell_gather(u[c], S.cells, S.u_degree)
+                    vals.append(_sumfac([self.Su] * dim, uc, dim))
+                    gc = []
+                    for e in range(dim):
+                        mats = [self.Du if d == e else self.Su
+                                for d in range(dim)]
+                        gc.append(_sumfac(mats, uc, dim) * self.jinv[e])
+                    grads.append(gc)
+                    divs = divs + gc[c]
+                ue = stokes_problem.exact_u(self.coords_u, t)
+                ge = stokes_problem.exact_grad_u(self.coords_u, t)
+                l2 = sum(jnp.sum(self.jxw_u * (vals[c] - ue[..., c]) ** 2)
+                         for c in range(dim))
+                linf = jnp.max(jnp.stack(
+                    [jnp.max(jnp.abs(vals[c] - ue[..., c]))
+                     for c in range(dim)]))
+                h1 = sum(jnp.sum(self.jxw_u
+                                 * (grads[c][e] - ge[..., c, e]) ** 2)
+                         for c in range(dim) for e in range(dim))
+                div_e = sum(ge[..., c, c] for c in range(dim))
+                hdiv = jnp.sum(self.jxw_u * (divs - div_e) ** 2)
+                res["l2_u"] += tau * self.tw[q] * float(l2)
+                res["h1_u"] += tau * self.tw[q] * float(h1)
+                res["hdiv_u"] += tau * self.tw[q] * float(hdiv)
+                res["linf_u"] = max(res["linf_u"], float(linf))
+                # p errors
+                nploc = S.n_ploc
+                pq = jnp.einsum("...m,mQ->...Q", p,
+                                self.Pq_err.reshape(nploc, -1))
+                pq = pq.reshape(p.shape[:-1] + (self.nqp,) * dim)
+                pe = stokes_problem.exact_p(self.coords_p, t)
+                l2p = jnp.sum(self.jxw_p * (pq - pe) ** 2)
+                linfp = jnp.max(jnp.abs(pq - pe))
+                gpe = stokes_problem.exact_grad_p(self.coords_p, t)
+                h1p = 0.0
+                for e in range(dim):
+                    dpq = jnp.einsum(
+                        "...m,mQ->...Q", p,
+                        self.dPq_err[..., e].reshape(nploc, -1))
+                    dpq = dpq.reshape(p.shape[:-1] + (self.nqp,) * dim) \
+                        * self.jinv[e]
+                    h1p = h1p + jnp.sum(self.jxw_p
+                                        * (dpq - gpe[..., e]) ** 2)
+                res["l2_p"] += tau * self.tw[q] * float(l2p)
+                res["h1_p"] += tau * self.tw[q] * float(h1p)
+                res["linf_p"] = max(res["linf_p"], float(linfp))
+        return res
+
+
+def run_stokes_cycle(refinement: int, fe_degree: int,
+                     type_: TimeStepType = TimeStepType.DG,
+                     n_timesteps_at_once: int = 1,
+                     viscosity: float = 1.0, end_time: float = 1.0,
+                     mean_pressure: bool = True,
+                     preconditioner_factory=None, gmres_maxiter: int = 200,
+                     rel_tol: float = 1e-12,
+                     extrapolate: bool = True) -> StokesCycleResult:
+    dim = 2
+    is_cgp = type_ == TimeStepType.CGP
+    u_degree = fe_degree + 1
+    p_degree = fe_degree
+    n_q = u_degree + 1
+    nt = fe_degree if is_cgp else fe_degree + 1
+    mesh = StructuredMesh([1, 1], [0.0, 0.0], [1.0, 1.0],
+                          refinement=refinement)
+    # reference tp_03stokes.cc:105-109: min(cell diameter, T) pre-refinement
+    step_ = min(mesh.coarse_cell_diameter, end_time)
+    n_steps = int(end_time / step_)
+    tau = end_time * 2.0 ** (-(refinement + 1)) / n_steps
+    T = nt * n_timesteps_at_once
+
+    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity)
+    Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0)
+    a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
+                                     n_timesteps_at_once)
+    matrix = StokesSystemMatrix(S, Mu, a, b)
+    if is_cgp:
+        rhs_matrix = StokesSystemMatrix(S, Mu, a, b, gamma=g, zeta=z,
+                                        type_=type_)
+    else:
+        rhs_matrix = StokesSystemMatrix(S, Mu, a, b, gamma=None, zeta=g,
+                                        type_=type_)
+
+    # force quadrature data (QGauss(u_degree+1) like the operator)
+    sd = shape_data_1d(u_degree, n_q)
+    Sf = jnp.asarray(sd.S)
+    geom = mesh.geometry(n_q, u_degree)
+    jxw = jnp.asarray(geom.jxw)
+    fcoords = jnp.asarray(quad_coordinates(mesh, n_q))
+
+    def force_u(t):
+        f = stokes_problem.rhs_u(fcoords, t, viscosity)
+        comps = []
+        for c in range(dim):
+            y = _sumfac([Sf] * dim, f[..., c] * jxw, dim, forward=False)
+            comps.append(cell_scatter(y, mesh.cells, u_degree))
+        return jnp.stack(comps, axis=0) * S.mask_u
+
+    a1, b1, g1, z1 = get_fe_time_weights(type_, fe_degree, tau, 1)
+    tq_pts = get_time_quad(type_, fe_degree)[0]
+
+    def assemble_force(time):
+        zero_p = jnp.zeros((mesh.n_cells * S.n_ploc,))
+        parts = []
+        for it in range(n_timesteps_at_once):
+            step_parts = [None] * nt
+            for j, q in enumerate(tq_pts):
+                t = time + tau * it + tau * q
+                F = force_u(t)
+                if type_ == TimeStepType.DG:
+                    c = a1[j, j]
+                    step_parts[j] = (F * c if step_parts[j] is None
+                                     else step_parts[j] + F * c)
+                else:
+                    if j == 0:
+                        for i in range(nt):
+                            c = -g1[i, 0]
+                            step_parts[i] = (F * c if step_parts[i] is None
+                                             else step_parts[i] + F * c)
+                    else:
+                        c = a1[j - 1, j - 1]
+                        step_parts[j - 1] = (
+                            F * c if step_parts[j - 1] is None
+                            else step_parts[j - 1] + F * c)
+            parts += step_parts
+        flat_u = jnp.stack([p.reshape(-1) for p in parts])
+        return jnp.concatenate(
+            [flat_u, jnp.broadcast_to(zero_p, (T, zero_p.size))], axis=1)
+
+    precond = None
+    if preconditioner_factory is not None:
+        ctx = dict(mesh=mesh, fe_degree=fe_degree, u_degree=u_degree,
+                   p_degree=p_degree, type_=type_, viscosity=viscosity,
+                   n_timesteps_at_once=n_timesteps_at_once, time_step=tau,
+                   n_q=n_q, refinement=refinement)
+        precond = preconditioner_factory(ctx)
+
+    @jax.jit
+    def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
+        rhs = rhs + assemble_force(time)
+        x0 = (jnp.broadcast_to(prev_flat, (T, prev_flat.size))
+              if extrapolate else jnp.zeros((T, prev_flat.size)))
+        res = fgmres(matrix_.vmult, rhs, x0, precondition=precond_,
+                     maxiter=gmres_maxiter, abstol=1e-12, reltol=rel_tol)
+        return res
+
+    err = StokesErrorCalculator(S, type_, fe_degree)
+    coords_u = jnp.asarray(mesh.dof_coordinates(u_degree))
+    u0 = jnp.moveaxis(stokes_problem.exact_u(coords_u, 0.0), -1, 0)
+    p0 = jnp.zeros(mesh.cells + (S.n_ploc,))  # exact p(0) = 0
+    prev_flat = S.pack(u0, p0)
+
+    vol = float(np.prod(np.asarray(mesh.upper) - np.asarray(mesh.lower)))
+    detj = float(np.prod(mesh.h))
+
+    time, l2, linf, h1, hdiv = 0.0, 0.0, -1.0, 0.0, 0.0
+    l2p, linfp, h1p = 0.0, -1.0, 0.0
+    total_iters, n_slabs = 0, 0
+    while time < end_time - 1e-12:
+        res: FGMRESResult = solve_slab(matrix, rhs_matrix, precond,
+                                       prev_flat, jnp.asarray(time))
+        assert bool(res.converged), (time, float(res.residual))
+        total_iters += int(res.iterations)
+        x = res.x
+        u_time, p_time = S.unpack(x)
+        if mean_pressure:
+            # subtract the mean from each pressure time block (DGP: the
+            # constant-mode coefficient carries the cell mean)
+            means = jnp.sum(p_time[..., 0], axis=tuple(range(1, dim + 1))) \
+                * detj / vol
+            p_time = p_time.at[..., 0].add(
+                -means.reshape((T,) + (1,) * dim))
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        e = err.evaluate(time, tau, u_time, p_time, prev_u, prev_p,
+                         n_timesteps_at_once)
+        l2 += e["l2_u"]
+        h1 += e["h1_u"]
+        hdiv += e["hdiv_u"]
+        linf = max(linf, e["linf_u"])
+        l2p += e["l2_p"]
+        h1p += e["h1_p"]
+        linfp = max(linfp, e["linf_p"])
+        prev_flat = S.pack(u_time[-1], p_time[-1])
+        time += n_timesteps_at_once * tau
+        n_slabs += 1
+
+    return StokesCycleResult(
+        n_cells=mesh.n_cells, n_dofs_u=S.n_u, n_dofs_p=S.n_p,
+        n_blocks=2 * T, n_timesteps=n_slabs, total_iterations=total_iters,
+        avg_iterations=total_iters / n_slabs,
+        l2_l2_u=float(np.sqrt(l2)), linf_linf_u=float(linf),
+        l2_h1_u=float(np.sqrt(h1)), l2_hdiv_u=float(np.sqrt(hdiv)),
+        l2_l2_p=float(np.sqrt(l2p)), linf_linf_p=float(linfp),
+        l2_h1_p=float(np.sqrt(h1p)))

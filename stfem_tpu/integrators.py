@@ -21,8 +21,10 @@ from .mesh.grid import StructuredMesh
 from .ops.spatial import cell_scatter, _sumfac
 from .time.tables import get_time_quad
 from .types import TimeStepType
+from .utils.module import register_module
 
 
+@register_module
 class ForceAssembler:
     """Spatial RHS vector F_i(t) = int f(x,t) phi_i dx (the analogue of
     VectorTools::create_right_hand_side with constraints, used per
@@ -54,9 +56,14 @@ class SolveStats:
     converged: bool
 
 
+@register_module
 class TimeIntegratorFO:
     """First-order-in-time slab integrator (reference TimeIntegratorFO,
-    include/time_integrators.h:300-321)."""
+    include/time_integrators.h:300-321).
+
+    Registered as a pytree: the jitted slab solve takes the integrator itself
+    as an argument, so operator/preconditioner arrays are jit inputs rather
+    than baked HLO constants."""
 
     def __init__(self, type_: TimeStepType, time_degree: int,
                  Alpha_1: np.ndarray, Gamma_1: np.ndarray,
@@ -80,7 +87,6 @@ class TimeIntegratorFO:
         self.nt_dofs = (time_degree + 1 if type_ == TimeStepType.DG
                         else time_degree)
         self.extrapolate = extrapolate
-        self._solve_jit = jax.jit(self._solve_impl)
 
     # reference include/time_integrators.h:73-110 (exploits diagonal Alpha)
     def assemble_force(self, time, time_step) -> jnp.ndarray:
@@ -127,12 +133,23 @@ class TimeIntegratorFO:
 
     def solve(self, prev_x: jnp.ndarray, time: float,
               time_step: float) -> tuple[jnp.ndarray, SolveStats]:
-        res: FGMRESResult = self._solve_jit(prev_x, jnp.asarray(time),
-                                            jnp.asarray(time_step))
+        res: FGMRESResult = _solve_fo_jit(self, prev_x, jnp.asarray(time),
+                                          jnp.asarray(time_step))
         return res.x, SolveStats(int(res.iterations), float(res.residual),
                                  bool(res.converged))
 
 
+@jax.jit
+def _solve_fo_jit(integ, prev_x, time, time_step):
+    return integ._solve_impl(prev_x, time, time_step)
+
+
+@jax.jit
+def _solve_wave_jit(integ, prev_u, prev_v, time, time_step):
+    return integ._solve_wave_impl(prev_u, prev_v, time, time_step)
+
+
+@register_module
 class TimeIntegratorWave(TimeIntegratorFO):
     """Wave integrator: u-solve + dense v-recovery epilogue
     (reference include/time_integrators.h:400-447)."""
@@ -155,7 +172,6 @@ class TimeIntegratorWave(TimeIntegratorFO):
             self.AixG = -self.AixG
         else:
             self.AixZ = -self.AixZ
-        self._solve_wave_jit = jax.jit(self._solve_wave_impl)
 
     def _solve_wave_impl(self, prev_u, prev_v, time, time_step):
         rhs = self.rhs_matrix.vmult(prev_u[None])
@@ -190,7 +206,7 @@ class TimeIntegratorWave(TimeIntegratorFO):
         return res, u, v
 
     def solve_wave(self, prev_u, prev_v, time, time_step):
-        res, u, v = self._solve_wave_jit(prev_u, prev_v, jnp.asarray(time),
-                                         jnp.asarray(time_step))
+        res, u, v = _solve_wave_jit(self, prev_u, prev_v, jnp.asarray(time),
+                                    jnp.asarray(time_step))
         return u, v, SolveStats(int(res.iterations), float(res.residual),
                                 bool(res.converged))

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..mesh.fe import shape_data_1d
 from ..mesh.grid import Geometry, StructuredMesh
+from ..utils.module import register_module
 
 __all__ = ["LaplaceMassOperator", "cell_gather", "cell_scatter"]
 
@@ -93,6 +94,7 @@ def _sumfac(mats, x, dim, forward=True):
     return jnp.einsum(ein, *operands, x)
 
 
+@register_module
 class LaplaceMassOperator:
     """c_M (w u, v) + c_K (w grad u, grad v) on Q_degree elements.
 

@@ -33,6 +33,7 @@ from ..time.tables import (get_fe_time_weights_sequence,
                            get_fe_time_weights_wave_sequence)
 from ..types import (CoarseningType, MGType, PolynomialCoarseningSequenceType,
                      ProblemType, SupportedSmoothers, TimeStepType)
+from ..utils.module import register_module
 from .smoother import (ChebyshevSmoother, IdentitySmoother, RelaxationSmoother,
                        chebyshev_parameters, estimate_eigenvalues,
                        relaxation_parameters)
@@ -67,6 +68,7 @@ class GMGParams:
     skip_identity_levels: bool = False
 
 
+@register_module
 @dataclass
 class _Level:
     matrix: SystemMatrix
@@ -75,6 +77,7 @@ class _Level:
     dof_shape: tuple
 
 
+@register_module
 class GMG:
     def __init__(self, levels, transfers, params: GMGParams, dtype,
                  precondition_sequence):
@@ -249,7 +252,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     info = None
                 else:
                     info = estimate_eigenvalues(
-                        matrix.vmult, vanka.vmult,
+                        matrix, vanka,
                         (n_blocks,) + tuple(lvl.dof_shape), K.mask_np, dtype,
                         params.smoothing_eig_cg_n_iterations,
                         params.eig_safety_factor)
@@ -264,8 +267,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                 else:
                     omega = relaxation_parameters(info,
                                                   params.smoothing_range)
-                lvl.smoother = RelaxationSmoother(matrix.vmult, vanka.vmult,
-                                                  omega,
+                lvl.smoother = RelaxationSmoother(matrix, vanka, omega,
                                                   params.smoothing_steps)
             else:
                 if info is None:
@@ -273,8 +275,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                 else:
                     theta, delta = chebyshev_parameters(
                         info, params.smoothing_range)
-                lvl.smoother = ChebyshevSmoother(matrix.vmult, vanka.vmult,
-                                                 theta, delta,
+                lvl.smoother = ChebyshevSmoother(matrix, vanka, theta, delta,
                                                  params.smoothing_steps)
         levels.append(lvl)
 
@@ -305,6 +306,173 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
             transfers.append(TimeTransfer(
                 type_, mgt, nt_hi, nt_lo, n_at_once[l],
                 params.restrict_is_transpose_prolongate, dtype))
+
+    gmg = GMG(levels, transfers, params, dtype, precond_seq)
+    gmg.mg_type_level = mg_type_level
+    return gmg
+
+
+def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
+                      type_: TimeStepType, n_timesteps_at_once: int,
+                      time_step: float, viscosity: float = 1.0,
+                      params: GMGParams | None = None, dtype=jnp.float32,
+                      coarsening_type: CoarseningType =
+                      CoarseningType.space_and_time,
+                      time_before_space: bool = False,
+                      space_time_level_first: bool = False,
+                      use_pmg: bool = True,
+                      fe_degree_min: int | None = None,
+                      n_timesteps_at_once_min: int | None = None,
+                      poly_coarsening=PolynomialCoarseningSequenceType.bisect
+                      ) -> GMG:
+    """STMG hierarchy for the Stokes slab system on the flat [T, n_u+n_p]
+    layout (reference tests/tp_03stokes.cc level setup): velocity Q_{k+1}
+    with pressure DGP(k) per level, block Vanka with velocity-only mass mask.
+    """
+    from ..blocks import BlockSlice
+    from ..ops.stokes import StokesOperator
+    from ..system_stokes import StokesSystemMatrix
+    from ..time.tables import (get_fe_time_weights_sequence,
+                               get_fe_time_weights_stokes)
+    from .stokes_level import (StokesSpaceTransfer, StokesTimeTransfer,
+                               StokesVanka)
+
+    if params is None:
+        params = GMGParams()
+    if fe_degree_min is None:
+        fe_degree_min = max(fe_degree - 1, 1)
+    if n_timesteps_at_once_min is None:
+        n_timesteps_at_once_min = max(n_timesteps_at_once // 2, 1)
+
+    u_degree = fe_degree + 1
+    n_sp_lvl = mesh_fine.refinement + 1
+    meshes = [StructuredMesh(mesh_fine.subdivisions, mesh_fine.lower,
+                             mesh_fine.upper, refinement=r)
+              for r in range(n_sp_lvl)]
+    poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
+                                     poly_coarsening)
+    poly_space = get_poly_mg_sequence(u_degree, 1, poly_coarsening)
+    mg_type_level = get_mg_sequence(
+        n_sp_lvl, poly_time, poly_space, n_timesteps_at_once,
+        n_timesteps_at_once_min, MGType.tau, coarsening_type,
+        time_before_space, use_pmg, space_time_level_first)
+    precond_seq = get_precondition_stmg_types(
+        mg_type_level, coarsening_type, time_before_space,
+        space_time_level_first, params.smoother)
+
+    fetw = get_fe_time_weights_sequence(
+        type_, time_step, n_timesteps_at_once, mg_type_level, poly_time)
+    fetw_stokes = get_fe_time_weights_sequence(
+        type_, time_step, n_timesteps_at_once, mg_type_level, poly_time,
+        weight_fn=get_fe_time_weights_stokes)
+
+    n_levels = len(mg_type_level) + 1
+    mesh_idx = [0] * n_levels
+    spd_idx = [0] * n_levels
+    n_at_once = [0] * n_levels
+    ntd_idx = [0] * n_levels
+    mi, si, na, ti = n_sp_lvl - 1, len(poly_space) - 1, \
+        n_timesteps_at_once, len(poly_time) - 1
+    for l in range(n_levels - 1, -1, -1):
+        mesh_idx[l], spd_idx[l], n_at_once[l], ntd_idx[l] = mi, si, na, ti
+        if l > 0:
+            mgt = mg_type_level[l - 1]
+            if mgt == MGType.h:
+                mi -= 1
+            elif mgt == MGType.p:
+                si -= 1
+            elif mgt == MGType.k:
+                ti -= 1
+            elif mgt == MGType.tau:
+                na //= 2
+
+    levels = []
+    sop_cache = {}
+    for l in range(n_levels):
+        mesh_l = meshes[mesh_idx[l]]
+        u_deg = poly_space[spd_idx[l]]
+        p_deg = u_deg - 1
+        rt = poly_time[ntd_idx[l]]
+        nt_dofs_l = rt + 1 if type_ == TimeStepType.DG else rt
+        key = (mesh_idx[l], u_deg)
+        if key not in sop_cache:
+            S = StokesOperator(mesh_l, u_deg, p_deg, u_deg + 1, viscosity,
+                               dtype=dtype)
+            Mu = LaplaceMassOperator(mesh_l, u_deg, u_deg + 1, 1.0, 0.0,
+                                     dtype=dtype)
+            sop_cache[key] = (S, Mu)
+        S, Mu = sop_cache[key]
+        a_l, b_l = fetw[l][0], fetw[l][1]
+        matrix = StokesSystemMatrix(S, Mu, a_l, b_l, type_=type_)
+        blk = BlockSlice(n_at_once[l], 2, nt_dofs_l)
+        T_l = n_at_once[l] * nt_dofs_l
+        lvl = _Level(matrix=matrix, smoother=None, n_blocks=T_l,
+                     dof_shape=(S.n_u + S.n_p,))
+        if precond_seq[l] == SupportedSmoothers.Identity:
+            lvl.smoother = IdentitySmoother()
+        else:
+            vanka = StokesVanka(S, Mu, fetw_stokes[l][0], fetw_stokes[l][1],
+                                blk, dtype=dtype)
+            flat_mask = np.concatenate(
+                [np.tile(np.asarray(S.mask_u_np).reshape(-1), S.dim),
+                 np.ones(S.n_p)])
+            if np.sum(S.mask_u_np) == 0:
+                info = None
+            else:
+                info = estimate_eigenvalues(
+                    matrix, vanka, (T_l, S.n_u + S.n_p), flat_mask, dtype,
+                    params.smoothing_eig_cg_n_iterations,
+                    params.eig_safety_factor)
+                if not np.isfinite(info.max_eigenvalue) or \
+                        info.max_eigenvalue <= 0:
+                    info = None
+            if precond_seq[l] == SupportedSmoothers.Relaxation:
+                if params.relaxation != 0.0:
+                    omega = params.relaxation
+                elif info is None:
+                    omega = 1.0
+                else:
+                    omega = relaxation_parameters(info,
+                                                  params.smoothing_range)
+                lvl.smoother = RelaxationSmoother(matrix, vanka, omega,
+                                                  params.smoothing_steps)
+            else:
+                theta, delta = ((1.0, 0.5) if info is None else
+                                chebyshev_parameters(info,
+                                                     params.smoothing_range))
+                lvl.smoother = ChebyshevSmoother(matrix, vanka, theta, delta,
+                                                 params.smoothing_steps)
+        levels.append(lvl)
+
+    transfers = []
+    for l in range(1, n_levels):
+        mgt = mg_type_level[l - 1]
+        S_hi = sop_cache[(mesh_idx[l], poly_space[spd_idx[l]])][0]
+        S_lo = sop_cache[(mesh_idx[l - 1], poly_space[spd_idx[l - 1]])][0]
+        mesh_hi = meshes[mesh_idx[l]]
+        mesh_lo = meshes[mesh_idx[l - 1]]
+        deg_hi = poly_space[spd_idx[l]]
+        deg_lo = poly_space[spd_idx[l - 1]]
+        if mgt in (MGType.h, MGType.p):
+            if mgt == MGType.h:
+                P1ds = [h_prolongation_global_1d(mesh_lo.cells[d], deg_hi)
+                        for d in range(mesh_hi.dim)]
+            else:
+                P1ds = [p_prolongation_global_1d(mesh_hi.cells[d], deg_lo,
+                                                 deg_hi)
+                        for d in range(mesh_hi.dim)]
+            ut = SpaceTransfer(P1ds, mesh_hi.boundary_dof_mask(deg_hi),
+                               mesh_lo.boundary_dof_mask(deg_lo), dtype)
+            transfers.append(StokesSpaceTransfer(
+                S_hi, S_lo, ut, "h" if mgt == MGType.h else "p", dtype))
+        else:
+            rt_hi = poly_time[ntd_idx[l]]
+            rt_lo = poly_time[ntd_idx[l - 1]]
+            nt_hi = rt_hi + 1 if type_ == TimeStepType.DG else rt_hi
+            nt_lo = rt_lo + 1 if type_ == TimeStepType.DG else rt_lo
+            transfers.append(StokesTimeTransfer(TimeTransfer(
+                type_, mgt, nt_hi, nt_lo, n_at_once[l],
+                params.restrict_is_transpose_prolongate, dtype)))
 
     gmg = GMG(levels, transfers, params, dtype, precond_seq)
     gmg.mg_type_level = mg_type_level

@@ -36,20 +36,30 @@ def initial_guess(shape_blocks, mask, dtype) -> jnp.ndarray:
     return jnp.asarray(v, dtype)
 
 
-def power_estimate(A: Callable, P: Callable, v0: jnp.ndarray,
-                   n_iterations: int = 20) -> float:
-    """deal.II internal::power_iteration: returns <v,(PA)v> after n its."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _power_jit(matrix, precond, v0, n_iterations):
     def body(_, carry):
         v, lam = carry
-        w = P(A(v))
+        w = precond.vmult(matrix.vmult(v))
         lam = jnp.vdot(v.reshape(-1), w.reshape(-1))
         v = w / jnp.linalg.norm(w.reshape(-1))
         return v, lam
 
     v = v0 / jnp.linalg.norm(v0.reshape(-1))
-    _, lam = jax.lax.fori_loop(0, n_iterations, body, (v, jnp.zeros(
-        (), v.dtype)))
-    return float(lam)
+    _, lam = jax.lax.fori_loop(0, n_iterations, body,
+                               (v, jnp.zeros((), v.dtype)))
+    return lam
+
+
+def power_estimate(matrix, precond, v0: jnp.ndarray,
+                   n_iterations: int = 20) -> float:
+    """deal.II internal::power_iteration: returns <v,(PA)v> after n its.
+    matrix/precond are pytree modules with .vmult (arrays travel as jit
+    arguments, keeping the compiled payload small)."""
+    return float(_power_jit(matrix, precond, v0, n_iterations))
 
 
 @dataclass
@@ -58,13 +68,13 @@ class EigInfo:
     max_eigenvalue: float
 
 
-def estimate_eigenvalues(A: Callable, P: Callable, shape_blocks, mask, dtype,
+def estimate_eigenvalues(matrix, precond, shape_blocks, mask, dtype,
                          n_iterations: int = 20,
                          safety_factor: float = 1.2) -> EigInfo:
     """The 1.2 safety factor on the max estimate follows deal.II's
     estimate_eigenvalues; min = the raw power-iteration estimate."""
     v0 = initial_guess(shape_blocks, mask, dtype)
-    est = power_estimate(A, P, v0, n_iterations)
+    est = power_estimate(matrix, precond, v0, n_iterations)
     return EigInfo(min_eigenvalue=est, max_eigenvalue=safety_factor * est)
 
 
@@ -83,38 +93,47 @@ def chebyshev_parameters(info: EigInfo,
     return theta, delta
 
 
+from ..utils.module import register_module
+
+
+@register_module
 class RelaxationSmoother:
     """x = 0; n_iterations of x += omega P (b - A x)
-    (deal.II PreconditionRelaxation.vmult)."""
+    (deal.II PreconditionRelaxation.vmult).
 
-    def __init__(self, A: Callable, P: Callable, omega: float,
-                 n_iterations: int = 1):
-        self.A = A
-        self.P = P
+    Holds the matrix/preconditioner MODULES (not bound methods) so the
+    smoother participates in pytree flattening and its arrays travel as jit
+    arguments.
+    """
+
+    def __init__(self, matrix, precond, omega: float, n_iterations: int = 1):
+        self.matrix = matrix
+        self.precond = precond
         self.omega = omega
         self.n_iterations = n_iterations
 
     def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
-        x = self.omega * self.P(b)
+        x = self.omega * self.precond.vmult(b)
         for _ in range(self.n_iterations - 1):
-            x = x + self.omega * self.P(b - self.A(x))
+            x = x + self.omega * self.precond.vmult(b - self.matrix.vmult(x))
         return x
 
 
+@register_module
 class ChebyshevSmoother:
     """deal.II PreconditionChebyshev.vmult (first-kind polynomial), zero
     initial guess, `degree` preconditioner applications."""
 
-    def __init__(self, A: Callable, P: Callable, theta: float, delta: float,
+    def __init__(self, matrix, precond, theta: float, delta: float,
                  degree: int = 1):
-        self.A = A
-        self.P = P
+        self.matrix = matrix
+        self.precond = precond
         self.theta = theta
         self.delta = delta
         self.degree = degree
 
     def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
-        x = self.P(b) * (1.0 / self.theta)
+        x = self.precond.vmult(b) * (1.0 / self.theta)
         if self.degree == 1:
             return x
         x_old = jnp.zeros_like(x)
@@ -125,12 +144,16 @@ class ChebyshevSmoother:
             factor1 = rho_new * rhok
             factor2 = 2.0 * rho_new / self.delta
             rhok = rho_new
-            r = b - self.A(x)
-            x_new = x + factor1 * (x - x_old) + factor2 * self.P(r)
+            r = b - self.matrix.vmult(x)
+            x_new = x + factor1 * (x - x_old) + factor2 * self.precond.vmult(r)
             x_old, x = x, x_new
         return x
 
 
+@register_module
 class IdentitySmoother:
+    def __init__(self):
+        pass
+
     def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
         return b

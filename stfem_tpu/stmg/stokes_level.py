@@ -1,0 +1,249 @@
+"""Stokes-specific STMG level components: block Vanka over (u,p) cell
+patches and flat-layout transfers.
+
+Reference: the block PreconditionVanka (stmg.h:649-743) with
+M_mask = velocity-only, and MGTwoLevelBlockTransfer/MGTwoLevelTransferTime
+applied per variable (stmg.h:38-247); here everything acts on the flat
+[T, n_u + n_p] Stokes vectors.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..blocks import BlockSlice
+from ..mesh.fe_dgp import dgp_child_embedding, dgp_p_embedding
+from ..ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter
+from ..ops.stokes import StokesOperator
+from ..utils.module import register_module
+from .transfers import SpaceTransfer, TimeTransfer
+from .vanka import assemble_band, dof_valence, extract_patches
+
+
+@register_module
+class StokesVanka:
+    """Cell-patch Vanka for the space-time Stokes slab.
+
+    Patch rows ordered by block index (variable-major BlockSlice: timestep,
+    [u,p], timedof) with per-block spatial dofs = all cell u-dofs
+    (component-major) or all cell p-modes.  B = Alpha_st (x) K_blocks +
+    Beta_st (x) M_uu, valence-row-scaled, inverted batched at setup.
+    """
+
+    def __init__(self, stokes_op: StokesOperator,
+                 mass_op: LaplaceMassOperator, Alpha_st, Beta_st,
+                 blk: BlockSlice, dtype=None):
+        S = stokes_op
+        self.S = S
+        self.blk = blk
+        self.dtype = dtype or S.dtype
+        dim, k = S.dim, S.u_degree
+        cells = S.cells
+        C = int(np.prod(cells))
+        A_s = (k + 1) ** dim
+        A_u = dim * A_s
+        n_pl = S.n_ploc
+        n_blocks = blk.n_blocks
+        Alpha_st = np.asarray(Alpha_st)
+        Beta_st = np.asarray(Beta_st)
+
+        # assembled uu (scalar, nu included) and mass patches
+        lap = LaplaceMassOperator(S.mesh, k, S.n_q, 0.0, S.viscosity,
+                                  dtype=self.dtype)
+        mass = LaplaceMassOperator(S.mesh, k, S.n_q, 1.0, 0.0,
+                                   dtype=self.dtype)
+        Kuu_s = extract_patches(assemble_band(lap), cells, k)   # (C, A_s, A_s)
+        Muu_s = extract_patches(assemble_band(mass), cells, k)
+        _, E_up, E_pu = S.element_matrices()
+        E_up = E_up.astype(self.dtype)
+        E_pu = E_pu.astype(self.dtype)
+
+        def blockdiag(comp):  # (C, A_s, A_s) -> (C, dim*A_s, dim*A_s)
+            Z = jnp.zeros((C, A_s, A_s), self.dtype)
+            rows = []
+            for c in range(dim):
+                cols = [comp if c == e else Z for e in range(dim)]
+                rows.append(jnp.concatenate(cols, axis=2))
+            return jnp.concatenate(rows, axis=1)
+
+        Kuu = blockdiag(Kuu_s.astype(self.dtype))
+        Muu = blockdiag(Muu_s.astype(self.dtype))
+        Zpp = jnp.zeros((C, n_pl, n_pl), self.dtype)
+        Zup = jnp.zeros((C, A_u, n_pl), self.dtype)
+        Zpu = jnp.zeros((C, n_pl, A_u), self.dtype)
+
+        sizes = []
+        for i in range(n_blocks):
+            _, iv, _ = blk.decompose(i)
+            sizes.append(A_u if iv == 0 else n_pl)
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        P = int(offs[-1])
+        self._sizes = sizes
+        self._offs = offs
+
+        B = jnp.zeros((C, P, P), self.dtype)
+        for i in range(n_blocks):
+            _, iv, _ = blk.decompose(i)
+            for j in range(n_blocks):
+                _, jv, _ = blk.decompose(j)
+                a = float(Alpha_st[i, j])
+                b = float(Beta_st[i, j])
+                if a == 0.0 and b == 0.0:
+                    continue
+                if iv == 0 and jv == 0:
+                    sub = a * Kuu + b * Muu
+                elif iv == 0 and jv == 1:
+                    sub = a * E_up
+                elif iv == 1 and jv == 0:
+                    sub = a * E_pu
+                else:
+                    continue  # p-p: no coupling (and M_mask excludes it)
+                r0, r1 = int(offs[i]), int(offs[i + 1])
+                c0, c1 = int(offs[j]), int(offs[j + 1])
+                B = B.at[:, r0:r1, c0:c1].add(sub)
+        # valence row scaling (u rows: spatial dof multiplicity; p rows: 1)
+        val_u = dof_valence(cells, k)
+        vloc = cell_gather(jnp.asarray(val_u, self.dtype), cells, k
+                           ).reshape(C, A_s)
+        vrows = []
+        for i in range(n_blocks):
+            _, iv, _ = blk.decompose(i)
+            if iv == 0:
+                vrows.append(jnp.concatenate([vloc] * dim, axis=1))
+            else:
+                vrows.append(jnp.ones((C, n_pl), self.dtype))
+        vrows = jnp.concatenate(vrows, axis=1)
+        B = B * vrows[:, :, None]
+        # regularize rows with no coupling at all (e.g. pressure rows on
+        # levels where every velocity dof is Dirichlet-constrained): unit
+        # diagonal there keeps B invertible and cannot change the smoother
+        # action (the corresponding residual entries are handled additively)
+        zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(self.dtype)
+        B = B + jax.vmap(jnp.diag)(zero_rows)
+        self.Binv = jnp.linalg.inv(B)
+
+    def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: flat [T, n_u + n_p] residual."""
+        S = self.S
+        blk = self.blk
+        dim, k = S.dim, S.u_degree
+        cells = S.cells
+        C = self.Binv.shape[0]
+        A_s = (k + 1) ** dim
+        x = x.astype(self.dtype)
+        u, p = S.unpack(x)  # u: [T, dim, *grid], p: [T, *cells, nploc]
+        T = u.shape[0]
+        nt = blk.n_timedofs
+
+        # gather per (block, cell): build [C, P] residual in patch order
+        uc = cell_gather(u, cells, k)           # [T, dim, *cells, *loc]
+        uc = jnp.moveaxis(uc.reshape(T, dim, C, A_s), 2, 0)  # [C, T, dim, A_s]
+        uc = uc.reshape(C, T, dim * A_s)
+        pc = p.reshape(T, C, S.n_ploc).transpose(1, 0, 2)    # [C, T, nploc]
+        segs = []
+        for i in range(blk.n_blocks):
+            it, iv, idof = blk.decompose(i)
+            tpos = it * nt + idof
+            segs.append(uc[:, tpos] if iv == 0 else pc[:, tpos])
+        r = jnp.concatenate(segs, axis=1)       # [C, P]
+        y = jnp.einsum("cij,cj->ci", self.Binv, r)
+
+        # scatter back
+        du = jnp.zeros((T, dim, C, A_s), self.dtype)
+        dp = jnp.zeros((T, C, S.n_ploc), self.dtype)
+        for i in range(blk.n_blocks):
+            it, iv, idof = blk.decompose(i)
+            tpos = it * nt + idof
+            r0, r1 = int(self._offs[i]), int(self._offs[i + 1])
+            seg = y[:, r0:r1]
+            if iv == 0:
+                du = du.at[tpos].add(
+                    seg.reshape(C, dim, A_s).transpose(1, 0, 2))
+            else:
+                dp = dp.at[tpos].add(seg)
+        du = du.reshape(T, dim, *cells, *((k + 1,) * dim))
+        du = cell_scatter(du, cells, k)
+        dp = dp.transpose(1, 0, 2).reshape(cells + (T, S.n_ploc,))
+        # reorder dp axes back to [T, *cells, nploc]
+        dp = jnp.moveaxis(dp, -2, 0)
+        return S.pack(du, dp)
+
+
+@register_module
+class StokesSpaceTransfer:
+    """h- or p-transfer acting on the flat Stokes layout: separable 1D
+    transfer on each velocity component + exact DGP embedding for pressure."""
+
+    def __init__(self, S_fine: StokesOperator, S_coarse: StokesOperator,
+                 u_transfer: SpaceTransfer, mg_type: str, dtype):
+        self.Sf = S_fine
+        self.Sc = S_coarse
+        self.u_transfer = u_transfer
+        self.mg_type = mg_type  # 'h' or 'p'
+        dim = S_fine.dim
+        if mg_type == "h":
+            assert S_fine.p_degree == S_coarse.p_degree
+            self.Ech = jnp.asarray(
+                dgp_child_embedding(dim, S_fine.p_degree), dtype)
+        else:
+            self.Pp = jnp.asarray(
+                dgp_p_embedding(dim, S_coarse.p_degree, S_fine.p_degree),
+                dtype)
+
+    def _p_prolongate(self, pc):
+        dim = self.Sf.dim
+        if self.mg_type == "p":
+            return jnp.einsum("fm,...m->...f", self.Pp, pc)
+        # h: coarse cells split into 2^dim children
+        ccells = self.Sc.cells
+        T = pc.shape[0]
+        m = pc.shape[-1]
+        out = jnp.zeros((T,) + self.Sf.cells + (m,), pc.dtype)
+        import itertools
+        for ci, bits in enumerate(itertools.product((0, 1), repeat=dim)):
+            vals = jnp.einsum("fm,...m->...f", self.Ech[ci], pc)
+            idx = tuple(slice(b, None, 2) for b in bits)
+            out = out.at[(slice(None),) + idx].set(vals)
+        return out
+
+    def _p_restrict(self, pf):
+        dim = self.Sf.dim
+        if self.mg_type == "p":
+            return jnp.einsum("fm,...f->...m", self.Pp, pf)
+        import itertools
+        T = pf.shape[0]
+        m = pf.shape[-1]
+        out = jnp.zeros((T,) + self.Sc.cells + (m,), pf.dtype)
+        for ci, bits in enumerate(itertools.product((0, 1), repeat=dim)):
+            idx = tuple(slice(b, None, 2) for b in bits)
+            out = out + jnp.einsum("fm,...f->...m", self.Ech[ci],
+                                   pf[(slice(None),) + idx])
+        return out
+
+    def prolongate(self, xc: jnp.ndarray) -> jnp.ndarray:
+        uc, pc = self.Sc.unpack(xc)
+        uf = self.u_transfer.prolongate(uc)
+        pf = self._p_prolongate(pc)
+        return self.Sf.pack(uf, pf)
+
+    def restrict(self, xf: jnp.ndarray) -> jnp.ndarray:
+        uf, pf = self.Sf.unpack(xf)
+        uc = self.u_transfer.restrict(uf)
+        pc = self._p_restrict(pf)
+        return self.Sc.pack(uc, pc)
+
+
+@register_module
+class StokesTimeTransfer:
+    """tau/k time transfer on the flat layout: one dense matrix over the
+    time-position axis applied to the whole flat vector."""
+
+    def __init__(self, time_transfer: TimeTransfer):
+        self.tt = time_transfer
+
+    def prolongate(self, xc):
+        return self.tt.prolongate(xc)
+
+    def restrict(self, xf):
+        return self.tt.restrict(xf)

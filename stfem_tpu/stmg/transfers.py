@@ -18,6 +18,7 @@ from ..time.transfer import (get_time_projection_matrix,
                              get_time_prolongation_matrix,
                              get_time_restriction_matrix)
 from ..types import MGType, TimeStepType
+from ..utils.module import register_module
 
 
 def h_prolongation_global_1d(n_coarse_cells: int, degree: int) -> np.ndarray:
@@ -46,6 +47,7 @@ def p_prolongation_global_1d(n_cells: int, degree_coarse: int,
     return P
 
 
+@register_module
 class SpaceTransfer:
     """Separable space transfer: per-axis dense 1D matrices + Dirichlet masks
     on both levels."""
@@ -58,9 +60,12 @@ class SpaceTransfer:
         self.dim = len(P1d_per_axis)
 
     def _apply_axes(self, x, mats):
-        # x: [n_blocks, *grid]; contract each spatial axis with its matrix
+        # x: [..., *grid]; contract the TRAILING spatial axes with the 1D
+        # matrices (leading axes = time blocks / vector components)
+        dim = len(mats)
         for d, m in enumerate(mats):
-            x = jnp.moveaxis(jnp.tensordot(m, x, axes=(1, 1 + d)), 0, 1 + d)
+            axis = x.ndim - dim + d
+            x = jnp.moveaxis(jnp.tensordot(m, x, axes=(1, axis)), 0, axis)
         return x
 
     def prolongate(self, xc: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +76,7 @@ class SpaceTransfer:
                                 [p.T for p in self.P]) * self.coarse_mask
 
 
+@register_module
 class TimeTransfer:
     """Dense block-axis transfer (k- or tau-type) for one variable."""
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter
+from ..utils.module import register_module
 
 
 def _band_offsets(dim: int, k: int) -> np.ndarray:
@@ -101,6 +102,7 @@ def dof_valence(cells: tuple[int, ...], k: int) -> np.ndarray:
     return out
 
 
+@register_module
 class PreconditionVanka:
     """Additive-Schwarz cell-patch preconditioner over the space-time slab.
 
@@ -140,6 +142,10 @@ class PreconditionVanka:
                            self.k).reshape(C, A)
         vrows = jnp.tile(vloc, (1, self.n_blocks))
         B = B * vrows[:, :, None]
+        # unit diagonal on fully-decoupled rows (keeps degenerate coarse
+        # levels invertible; no effect on the smoother action)
+        zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(self.dtype)
+        B = B + jax.vmap(jnp.diag)(zero_rows)
         self.Binv = jnp.linalg.inv(B)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:

@@ -14,8 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter, _sumfac
+from .utils.module import register_module
 
 
+@register_module
 class SystemMatrix:
     """dst = (Alpha (x) K + Beta (x) M) src for a mass operator M and
     stiffness-type operator K sharing one mesh/degree/quadrature.

@@ -1,0 +1,85 @@
+"""Space-time Stokes slab system on the flat [T, n_u+n_p] layout.
+
+Equivalent of the reference's SystemMatrixStokes::tensorproduct_eval
+(include/operators.h:819-867): the Stokes operator is applied once per time
+position, the tiny scalar time tables mix over the time axis:
+  dst_u[t'] = sum_t a[t',t] S_u(x[t]) + b[t',t] M u[t]
+  dst_p[t'] = sum_t a[t',t] S_p(x[t])
+and the RHS slice coupling uses the Gamma/Zeta columns (CGP also couples the
+pressure row through Gamma; DG does not -- matching
+get_fe_time_weights_stokes' structure).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.spatial import LaplaceMassOperator
+from .ops.stokes import StokesOperator
+from .types import TimeStepType
+from .utils.module import register_module
+
+
+@register_module
+class StokesSystemMatrix:
+    def __init__(self, stokes_op: StokesOperator,
+                 mass_op: LaplaceMassOperator,
+                 a: np.ndarray, b: np.ndarray,
+                 gamma: np.ndarray | None = None,
+                 zeta: np.ndarray | None = None,
+                 type_: TimeStepType = TimeStepType.DG):
+        """a, b: (T, T) scalar time tables (Alpha/Beta of the scalar system);
+        gamma/zeta: (T, 1) RHS columns for vmult_slice."""
+        self.S = stokes_op
+        self.M = mass_op
+        self.dtype = stokes_op.dtype
+        self.a = jnp.asarray(np.asarray(a), self.dtype)
+        self.b = jnp.asarray(np.asarray(b), self.dtype)
+        self.gamma = None if gamma is None else jnp.asarray(
+            np.asarray(gamma), self.dtype)
+        self.zeta = None if zeta is None else jnp.asarray(
+            np.asarray(zeta), self.dtype)
+        # static zero-structure flags (decided at build time, not traced)
+        self.gamma_nonzero = gamma is not None and bool(
+            np.any(np.asarray(gamma) != 0.0))
+        self.zeta_nonzero = zeta is not None and bool(
+            np.any(np.asarray(zeta) != 0.0))
+        self.type_ = type_
+        self.T = self.a.shape[0]
+        self.n_flat = stokes_op.n_u + stokes_op.n_p
+
+    def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [T, n_u + n_p]."""
+        S = self.S
+        u, p = S.unpack(x)
+        ru, rp = S.apply(u, p)
+        Mu = self.M.apply(u * 1.0)  # batched over [T, dim] leading axes
+        dst_u = (jnp.einsum("ji,i...->j...", self.a, ru)
+                 + jnp.einsum("ji,i...->j...", self.b, Mu))
+        dst_p = jnp.einsum("ji,i...->j...", self.a, rp)
+        return S.pack(dst_u, dst_p)
+
+    def vmult_slice(self, prev_u: jnp.ndarray,
+                    prev_p: jnp.ndarray) -> jnp.ndarray:
+        """RHS coupling to the previous step value (reference
+        SystemMatrixStokes::vmult_slice_add, operators.h:748-782).
+
+        gamma couples the Stokes operator (CGP only; also drives the p row),
+        zeta couples the velocity mass (CGP: Zeta; DG: the jump column which
+        the scalar tables store in the Gamma slot).
+        """
+        S = self.S
+        T = self.T
+        dst_u = jnp.zeros((T, S.dim) + tuple(S.dof_shape_u), self.dtype)
+        dst_p = jnp.zeros((T,) + tuple(S.cells) + (S.n_ploc,), self.dtype)
+        if self.gamma_nonzero:
+            ru, rp = S.apply(prev_u[None], prev_p[None])
+            gu = self.gamma[:, 0].reshape((T,) + (1,) * (ru.ndim - 1))
+            dst_u = dst_u + gu * ru
+            gp = self.gamma[:, 0].reshape((T,) + (1,) * (rp.ndim - 1))
+            dst_p = dst_p + gp * rp
+        if self.zeta_nonzero:
+            Mu = self.M.apply(prev_u[None])
+            zu = self.zeta[:, 0].reshape((T,) + (1,) * (Mu.ndim - 1))
+            dst_u = dst_u + zu * Mu
+        return S.pack(dst_u, dst_p)

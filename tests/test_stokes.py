@@ -1,0 +1,56 @@
+"""Stokes end-to-end: discretization errors vs reference golden
+(tests/tp_03stokes.output) and STMG iteration counts."""
+import numpy as np
+import pytest
+
+from stfem_tpu.drivers.stokes import run_stokes_cycle
+from stfem_tpu.stmg.gmg import GMGParams, build_stmg_stokes
+from stfem_tpu.types import TimeStepType
+
+# reference tests/tp_03stokes.output:37-41 (DG(1), Q2/DGP1, refs 1..4)
+GOLDEN_DG1 = {
+    1: dict(l2_u=1.65240e-02, linf_u=3.33168e-02, h1_u=2.84237e-01,
+            hdiv_u=2.2158e-01, l2_p=3.94153e-02, linf_p=1.01821e-01,
+            h1_p=6.16826e-01, iters=12),
+    2: dict(l2_u=3.17268e-03, linf_u=7.57276e-03, h1_u=1.05166e-01,
+            hdiv_u=4.9847e-02, l2_p=1.83976e-02, linf_p=5.80497e-02,
+            h1_p=3.91842e-01, iters=12),
+}
+
+
+def stokes_factory(ctx):
+    return build_stmg_stokes(
+        ctx["mesh"], ctx["fe_degree"], ctx["type_"],
+        ctx["n_timesteps_at_once"], ctx["time_step"],
+        viscosity=ctx["viscosity"],
+        params=GMGParams(smoothing_range=5.0),  # tf01stokes.json
+        fe_degree_min=1, space_time_level_first=False)
+
+
+@pytest.mark.parametrize("ref", [1, 2])
+def test_stokes_dg1_golden(ref):
+    res = run_stokes_cycle(refinement=ref, fe_degree=1,
+                           type_=TimeStepType.DG,
+                           preconditioner_factory=stokes_factory,
+                           gmres_maxiter=40)
+    g = GOLDEN_DG1[ref]
+    assert res.l2_l2_u == pytest.approx(g["l2_u"], rel=2e-5)
+    assert res.linf_linf_u == pytest.approx(g["linf_u"], rel=2e-5)
+    assert res.l2_h1_u == pytest.approx(g["h1_u"], rel=2e-5)
+    assert res.l2_hdiv_u == pytest.approx(g["hdiv_u"], rel=2e-4)
+    assert res.l2_l2_p == pytest.approx(g["l2_p"], rel=2e-5)
+    assert res.linf_linf_p == pytest.approx(g["linf_p"], rel=2e-5)
+    assert res.l2_h1_p == pytest.approx(g["h1_p"], rel=2e-5)
+    # iteration parity within +-2 of the golden counts
+    assert res.avg_iterations <= g["iters"] + 2
+
+
+def test_stokes_cgp_converges():
+    r1 = run_stokes_cycle(refinement=1, fe_degree=1, type_=TimeStepType.CGP,
+                          preconditioner_factory=stokes_factory,
+                          gmres_maxiter=40)
+    r2 = run_stokes_cycle(refinement=2, fe_degree=1, type_=TimeStepType.CGP,
+                          preconditioner_factory=stokes_factory,
+                          gmres_maxiter=40)
+    assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 1.7
+    assert r2.avg_iterations <= 16
