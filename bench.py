@@ -67,16 +67,16 @@ def main():
     shape = (n_blocks,) + mesh.dof_shape(space_degree)
 
     @jax.jit
-    def solve_slab(prev_x, t):
-        rhs = rhs_matrix.vmult(prev_x[None])
+    def solve_slab(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
+        rhs = rhs_matrix_.vmult(prev_x[None])
         # force at the three Radau points of the step (diagonal-Alpha rule)
         from stfem_tpu.time.tables import get_time_quad
         tq = get_time_quad(TimeStepType.DG, fe_degree)[0]
-        parts = [force(t + tau * float(q)) * float(Alpha[j, j])
+        parts = [force_(t + tau * float(q)) * float(Alpha[j, j])
                  for j, q in enumerate(tq)]
         rhs = rhs + jnp.stack(parts)
         x0 = jnp.broadcast_to(prev_x, shape)
-        res = fgmres(matrix.vmult, rhs, x0, precondition=gmg.vmult,
+        res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
                      maxiter=40, abstol=1e-30, reltol=1e-8)
         return res.x, res.iterations, res.residual, res.converged
 
@@ -85,7 +85,8 @@ def main():
 
     # warmup/compile
     t0 = time.time()
-    x, iters, resid, conv = solve_slab(prev, jnp.asarray(0.0, dtype))
+    x, iters, resid, conv = solve_slab(matrix, rhs_matrix, gmg, force,
+                                       prev, jnp.asarray(0.0, dtype))
     x.block_until_ready()
     compile_time = time.time() - t0
 
@@ -93,7 +94,8 @@ def main():
     total_iters = 0
     t = 0.0
     for s in range(n_slabs):
-        x, iters, resid, conv = solve_slab(x[-1], jnp.asarray(t, dtype))
+        x, iters, resid, conv = solve_slab(matrix, rhs_matrix, gmg, force,
+                                           x[-1], jnp.asarray(t, dtype))
         total_iters += int(iters)
         t += tau
     x.block_until_ready()

@@ -31,7 +31,9 @@ def stmg_preconditioner_factory(dtype=None, params=None, **build_kwargs):
         gmg = build_stmg(ctx["mesh"], ctx["fe_degree"], ctx["space_degree"],
                          ctx["type_"], ctx["n_timesteps_at_once"],
                          ctx["time_step"], problem=ctx["problem"],
-                         params=params, dtype=pdtype, **build_kwargs)
+                         params=params, dtype=pdtype,
+                         laplace_coefficient=ctx.get("coefficient"),
+                         **build_kwargs)
         return gmg  # pytree module; callable via __call__ = vmult
 
     return factory
@@ -62,7 +64,10 @@ def run_heat_cycle(refinement: int, fe_degree: int,
                    end_time: float = 1.0, frequency: float = 1.0,
                    preconditioner_factory=None, gmres_maxiter: int = 100,
                    rel_tol: float = 1e-12,
-                   extrapolate: bool = True) -> CycleResult:
+                   extrapolate: bool = True,
+                   distort_grid: float = 0.0,
+                   coefficient=None, compute_errors: bool = True,
+                   initial_fn=None, rhs_fn_override=None) -> CycleResult:
     """One convergence cycle (reference tp_01.cc:56-725).
 
     preconditioner_factory(ctx) -> callable: builds the STMG preconditioner
@@ -75,13 +80,15 @@ def run_heat_cycle(refinement: int, fe_degree: int,
     nt_dofs = fe_degree if is_cgp else fe_degree + 1
     n_blocks = nt_dofs * n_timesteps_at_once
 
-    mesh = StructuredMesh(subdivisions, lower, upper, refinement=refinement)
+    mesh = StructuredMesh(subdivisions, lower, upper, refinement=refinement,
+                          distort=distort_grid)
     # reference tp_01.cc:87,105-108: timestep from the UNREFINED cell size
     spc_step = mesh.coarse_cell_diameter / np.sqrt(dim)
     n_steps = int(end_time / spc_step)
     time_step = end_time * 2.0 ** (-(refinement + 1)) / n_steps
 
-    K = LaplaceMassOperator(mesh, space_degree, n_q, 0.0, 1.0)
+    K = LaplaceMassOperator(mesh, space_degree, n_q, 0.0, 1.0,
+                            coefficient=coefficient)
     M = LaplaceMassOperator(mesh, space_degree, n_q, 1.0, 0.0)
 
     Alpha_1, Beta_1, Gamma_1, Zeta_1 = get_fe_time_weights(
@@ -104,6 +111,8 @@ def run_heat_cycle(refinement: int, fe_degree: int,
         rhs_uM = Zeta if is_cgp else Gamma
         rhs_matrix = SystemMatrix(K, M, rhs_uK, rhs_uM)
         rhs_fn = lambda p, t: heat_problem.rhs(p, t, f)
+    if rhs_fn_override is not None:
+        rhs_fn = rhs_fn_override
 
     force = ForceAssembler(mesh, space_degree, n_q, rhs_fn, K.mask_np)
 
@@ -112,7 +121,7 @@ def run_heat_cycle(refinement: int, fe_degree: int,
         ctx = dict(mesh=mesh, fe_degree=fe_degree, space_degree=space_degree,
                    type_=type_, n_timesteps_at_once=n_timesteps_at_once,
                    time_step=time_step, problem=problem, n_q=n_q,
-                   refinement=refinement)
+                   refinement=refinement, coefficient=coefficient)
         precond = preconditioner_factory(ctx)
 
     if problem == ProblemType.wave:
@@ -130,14 +139,19 @@ def run_heat_cycle(refinement: int, fe_degree: int,
     # the reference under-integrates the error norms with QGauss(fe_degree+1)
     # (ErrorCalculator gets space_degree=fe_degree, tp_01.cc:809-815) -- we
     # replicate this for golden parity
-    err = ErrorCalculator(mesh, type_, fe_degree, space_degree,
-                          lambda p, t: heat_problem.exact_solution(p, t, f),
-                          lambda p, t: heat_problem.exact_gradient(p, t, f),
-                          n_q=fe_degree + 1)
+    err = None
+    if compute_errors:
+        err = ErrorCalculator(mesh, type_, fe_degree, space_degree,
+                              lambda p, t: heat_problem.exact_solution(p, t, f),
+                              lambda p, t: heat_problem.exact_gradient(p, t, f),
+                              n_q=fe_degree + 1)
 
     coords = jnp.asarray(mesh.dof_coordinates(space_degree))
     # initial value: nodal interpolation of the exact solution at t=0
-    prev_x = heat_problem.exact_solution(coords, 0.0, f)
+    if initial_fn is not None:
+        prev_x = jnp.asarray(initial_fn(np.asarray(coords)))
+    else:
+        prev_x = heat_problem.exact_solution(coords, 0.0, f)
     prev_v = heat_problem.wave_exact_v(coords, 0.0, f) \
         if problem == ProblemType.wave else None
 
@@ -156,11 +170,12 @@ def run_heat_cycle(refinement: int, fe_degree: int,
         assert stats.converged, \
             f"FGMRES stalled at t={time}: {stats}"
         total_iters += stats.iterations
-        e = err.evaluate_error(time, time_step, x, prev_x,
-                               n_timesteps_at_once)
-        l2 += float(e["l2"])
-        h1 += float(e["h1_semi"])
-        linf = max(linf, float(e["linf"]))
+        if compute_errors:
+            e = err.evaluate_error(time, time_step, x, prev_x,
+                                   n_timesteps_at_once)
+            l2 += float(e["l2"])
+            h1 += float(e["h1_semi"])
+            linf = max(linf, float(e["linf"]))
         prev_x = x[-1]
         time += n_timesteps_at_once * time_step
         n_slabs += 1

@@ -34,6 +34,7 @@ class Geometry:
     jxw: np.ndarray
     jinv_diag: np.ndarray | None = None
     jinv: np.ndarray | None = None
+    points: np.ndarray | None = None  # physical quad coords (general path)
 
 
 class StructuredMesh:
@@ -56,6 +57,19 @@ class StructuredMesh:
         self._vertices = None
         if distort != 0.0:
             self._vertices = self._distorted_vertices(distort, distort_seed)
+
+    def coarsened(self) -> "StructuredMesh":
+        """One level coarser mesh; for distorted meshes the coarse vertices
+        are the even-strided fine vertices (matching deal.II's geometric
+        coarsening sequence of a distorted fine triangulation)."""
+        assert self.refinement > 0
+        m = StructuredMesh(self.subdivisions, self.lower, self.upper,
+                           refinement=self.refinement - 1, distort=0.0)
+        if self._vertices is not None:
+            m._vertices = self._vertices[
+                tuple(slice(None, None, 2) for _ in range(self.dim))]
+            m.distort = self.distort
+        return m
 
     # -- reference tp_01.cc:87: minimal_cell_diameter BEFORE refinement ------
     @property
@@ -158,7 +172,10 @@ class StructuredMesh:
         jxw = detJ * w_tensor.reshape(-1)
         jxw = jxw.reshape(*self.cells, *qshape)
         jinv = Jinv.reshape(*self.cells, *qshape, dim, dim)
-        return Geometry(cartesian=False, jxw=jxw, jinv=jinv)
+        pts = np.einsum("...cx,cQ->...Qx", corner_arr,
+                        N.reshape(n_corners, -1))
+        pts = pts.reshape(*self.cells, *qshape, dim)
+        return Geometry(cartesian=False, jxw=jxw, jinv=jinv, points=pts)
 
     def boundary_dof_mask(self, degree: int) -> np.ndarray:
         """1.0 for interior (free) dofs, 0.0 on the domain boundary

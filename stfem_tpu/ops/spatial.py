@@ -165,8 +165,7 @@ class LaplaceMassOperator:
                 out[..., d] = axes[d].reshape(shape)
             pts = out
         else:
-            raise NotImplementedError(
-                "coefficient on distorted meshes: evaluate at mapped points")
+            pts = self.geom.points
         return coefficient_fun(pts)
 
     # ----------------------------------------------------------------------

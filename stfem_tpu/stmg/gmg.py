@@ -172,10 +172,15 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
         n_timesteps_at_once_min = max(n_timesteps_at_once // 2, 1)
 
     n_sp_lvl = mesh_fine.refinement + 1
-    meshes = [StructuredMesh(mesh_fine.subdivisions, mesh_fine.lower,
-                             mesh_fine.upper, refinement=r,
-                             distort=mesh_fine.distort)
-              for r in range(n_sp_lvl)]
+    if mesh_fine.distort != 0.0:
+        # coarse meshes inherit the fine mesh's distorted vertices (strided)
+        meshes = [mesh_fine]
+        while meshes[0].refinement > 0:
+            meshes.insert(0, meshes[0].coarsened())
+    else:
+        meshes = [StructuredMesh(mesh_fine.subdivisions, mesh_fine.lower,
+                                 mesh_fine.upper, refinement=r)
+                  for r in range(n_sp_lvl)]
     poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
                                      poly_coarsening)
     poly_space = get_poly_mg_sequence(space_degree, space_degree_min,

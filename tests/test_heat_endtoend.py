@@ -47,3 +47,25 @@ def test_heat_cgp1_converges():
                         n_timesteps_at_once=2, gmres_maxiter=700)
     rate = np.log2(r2.l2_l2 / r3.l2_l2)
     assert rate > 1.8
+
+
+def test_heat_cgp2_errors_match_golden():
+    """tf02 config: CGP(2), 2 steps at once (golden tp_01.output:108-115)."""
+    res = run_heat_cycle(refinement=2, fe_degree=2, type_=TimeStepType.CGP,
+                         n_timesteps_at_once=2, gmres_maxiter=900)
+    assert res.l2_l2 == pytest.approx(1.57444e-03, rel=2e-5)
+    assert res.linf_linf == pytest.approx(4.36348e-03, rel=2e-5)
+    assert res.l2_h1 == pytest.approx(1.16973e-02, rel=2e-5)
+    assert res.n_blocks == 4
+
+
+def test_wave_cgp2_converges():
+    """tf06-style: wave CGP(2), 4 steps at once."""
+    r2 = run_heat_cycle(refinement=2, fe_degree=2, type_=TimeStepType.CGP,
+                        problem=ProblemType.wave, n_timesteps_at_once=4,
+                        gmres_maxiter=900)
+    r3 = run_heat_cycle(refinement=3, fe_degree=2, type_=TimeStepType.CGP,
+                        problem=ProblemType.wave, n_timesteps_at_once=4,
+                        gmres_maxiter=1200)
+    rate = np.log2(r2.l2_l2 / r3.l2_l2)
+    assert rate > 2.5, (r2.l2_l2, r3.l2_l2, rate)
