@@ -32,27 +32,13 @@ def assemble_band(op: LaplaceMassOperator) -> jnp.ndarray:
     """Assembled global matrix in banded form:
     band[*dofshape, n_off] = A[g, g + offset], with unit diagonal on
     constrained dofs.  n_off = (2k+1)^dim."""
+    from ..utils.native import band_indices
     k, dim, cells = op.degree, op.dim, op.cells
     E = op.element_matrices()  # (C, A, A) with constrained rows/cols zeroed
     C, A, _ = E.shape
     dof_shape = op.dof_shape
     n_off = (2 * k + 1) ** dim
-
-    # local index tuples a (A, dim); global dof strides
-    loc = np.stack(np.meshgrid(*([np.arange(k + 1)] * dim), indexing="ij"),
-                   -1).reshape(A, dim)
-    cell_idx = np.stack(np.meshgrid(*[np.arange(c) for c in cells],
-                                    indexing="ij"), -1).reshape(C, dim)
-    dof_strides = np.cumprod([1] + list(dof_shape[::-1]))[::-1][1:]  # row-major
-    # global flat dof per (cell, local)
-    gidx = ((cell_idx[:, None, :] * k + loc[None, :, :])
-            * dof_strides[None, None, :]).sum(-1)       # (C, A)
-    # offset flat index per (a, b): per-axis (b - a + k)
-    off = loc[None, :, :] - loc[:, None, :] + k          # (A, A, dim)
-    off_strides = np.cumprod([1] + [2 * k + 1] * (dim - 1))[::-1]
-    off_flat = (off * off_strides[None, None, :]).sum(-1)  # (A, A)
-
-    flat_idx = gidx[:, :, None] * n_off + off_flat[None, :, :]  # (C, A, A)
+    flat_idx = band_indices(cells, k)                    # (C, A, A)
     band = jnp.zeros(int(np.prod(dof_shape)) * n_off, op.dtype)
     band = band.at[jnp.asarray(flat_idx.reshape(-1))].add(E.reshape(-1))
     band = band.reshape(dof_shape + (n_off,))
@@ -86,20 +72,9 @@ def extract_patches(band: jnp.ndarray, cells: tuple[int, ...],
 
 def dof_valence(cells: tuple[int, ...], k: int) -> np.ndarray:
     """Number of cells containing each dof (the reference's valence vector,
-    stmg.h:676-689)."""
-    dim = len(cells)
-    v = np.ones(())
-    out = np.ones(tuple(c * k + 1 for c in cells))
-    for d in range(dim):
-        ax = np.ones(cells[d] * k + 1)
-        if k > 0:
-            ax[k::k] = 2.0
-            ax[0] = 1.0
-            ax[-1] = 1.0
-        shape = [1] * dim
-        shape[d] = len(ax)
-        out = out * ax.reshape(shape)
-    return out
+    stmg.h:676-689); computed by the native runtime when available."""
+    from ..utils.native import dof_valence as _native_valence
+    return _native_valence(cells, k)
 
 
 @register_module
