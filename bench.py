@@ -45,24 +45,29 @@ def main():
     assert mesh.cells[0] == cells_per_axis
     tau = 1.0 / 16.0
 
-    K = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 0.0, 1.0,
-                            dtype=dtype)
-    M = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 1.0, 0.0,
-                            dtype=dtype)
-    Alpha, Beta, Gamma, Zeta = get_fe_time_weights(
-        TimeStepType.DG, fe_degree, tau, n_at_once)
-    matrix = SystemMatrix(K, M, Alpha, Beta)
-    rhs_matrix = SystemMatrix(K, M, np.zeros_like(Gamma), Gamma)
-
+    # Setup (element matrices, band assembly, patch inverses, eigenvalue
+    # estimation) runs eagerly -- pin it to the host CPU so it doesn't pay a
+    # remote-compile round trip per primitive on the axon TPU tunnel; the
+    # resulting module arrays transfer to the TPU at the first jitted solve.
+    cpu = jax.devices("cpu")[0]
     t0 = time.time()
-    gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
-                     n_at_once, tau, dtype=dtype, fe_degree_min=1,
-                     params=GMGParams())
+    with jax.default_device(cpu):
+        K = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 0.0,
+                                1.0, dtype=dtype)
+        M = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 1.0,
+                                0.0, dtype=dtype)
+        Alpha, Beta, Gamma, Zeta = get_fe_time_weights(
+            TimeStepType.DG, fe_degree, tau, n_at_once)
+        matrix = SystemMatrix(K, M, Alpha, Beta)
+        rhs_matrix = SystemMatrix(K, M, np.zeros_like(Gamma), Gamma)
+        gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
+                         n_at_once, tau, dtype=dtype, fe_degree_min=1,
+                         params=GMGParams())
+        force = ForceAssembler(mesh, space_degree, space_degree + 1,
+                               lambda p, t: heat_problem.rhs(p, t, 1.0),
+                               K.mask_np, dtype=dtype)
     setup_time = time.time() - t0
-
-    force = ForceAssembler(mesh, space_degree, space_degree + 1,
-                           lambda p, t: heat_problem.rhs(p, t, 1.0),
-                           K.mask_np, dtype=dtype)
+    print(f"# setup {setup_time:.1f}s", flush=True)
     n_blocks = Alpha.shape[0]
     shape = (n_blocks,) + mesh.dof_shape(space_degree)
 
@@ -80,8 +85,16 @@ def main():
                      maxiter=40, abstol=1e-30, reltol=1e-8)
         return res.x, res.iterations, res.residual, res.converged
 
-    coords = jnp.asarray(mesh.dof_coordinates(space_degree), dtype)
-    prev = heat_problem.exact_solution(coords, 0.0, 1.0).astype(dtype)
+    with jax.default_device(cpu):
+        coords = jnp.asarray(mesh.dof_coordinates(space_degree), dtype)
+        prev = heat_problem.exact_solution(coords, 0.0, 1.0).astype(dtype)
+    tpu = jax.devices()[0]
+    prev = jax.device_put(prev, tpu)
+    # move all module arrays to the TPU once (otherwise every solve call
+    # re-transfers the patch inverses etc. through the tunnel)
+    matrix, rhs_matrix, gmg, force = jax.device_put(
+        (matrix, rhs_matrix, gmg, force), tpu)
+    print("# compiling slab solve", flush=True)
 
     # warmup/compile
     t0 = time.time()
@@ -94,8 +107,12 @@ def main():
     total_iters = 0
     t = 0.0
     for s in range(n_slabs):
+        ts = time.time()
         x, iters, resid, conv = solve_slab(matrix, rhs_matrix, gmg, force,
                                            x[-1], jnp.asarray(t, dtype))
+        x.block_until_ready()
+        print(f"# slab {s}: {time.time()-ts:.2f}s, {int(iters)} iters",
+              flush=True)
         total_iters += int(iters)
         t += tau
     x.block_until_ready()
