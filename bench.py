@@ -96,27 +96,26 @@ def main():
         (matrix, rhs_matrix, gmg, force), tpu)
     print("# compiling slab solve", flush=True)
 
-    # warmup/compile
+    # warmup/compile.  NOTE axon-tunnel quirk: every host readback / eager
+    # op dispatch costs seconds, so the timed loop below performs ZERO host
+    # reads -- device arrays are collected and read once afterwards.
     t0 = time.time()
     x, iters, resid, conv = solve_slab(matrix, rhs_matrix, gmg, force,
-                                       prev, jnp.asarray(0.0, dtype))
+                                       prev, np.float32(0.0))
     x.block_until_ready()
     compile_time = time.time() - t0
 
     t0 = time.time()
-    total_iters = 0
+    iters_list = []
     t = 0.0
     for s in range(n_slabs):
-        ts = time.time()
         x, iters, resid, conv = solve_slab(matrix, rhs_matrix, gmg, force,
-                                           x[-1], jnp.asarray(t, dtype))
-        x.block_until_ready()
-        print(f"# slab {s}: {time.time()-ts:.2f}s, {int(iters)} iters",
-              flush=True)
-        total_iters += int(iters)
+                                           x[-1], np.float32(t))
+        iters_list.append(iters)
         t += tau
     x.block_until_ready()
     elapsed = time.time() - t0
+    total_iters = int(np.sum([np.asarray(i) for i in iters_list]))
 
     st_dofs = int(np.prod(shape)) * n_slabs
     dofs_per_sec = st_dofs / elapsed

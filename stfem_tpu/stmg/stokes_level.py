@@ -18,7 +18,7 @@ from ..ops.spatial import LaplaceMassOperator, cell_gather, cell_scatter
 from ..ops.stokes import StokesOperator
 from ..utils.module import register_module
 from .transfers import SpaceTransfer, TimeTransfer
-from .vanka import assemble_band, dof_valence, extract_patches
+from .vanka import _band_flat, dof_valence
 
 
 @register_module
@@ -53,25 +53,8 @@ class StokesVanka:
                                   dtype=self.dtype)
         mass = LaplaceMassOperator(S.mesh, k, S.n_q, 1.0, 0.0,
                                    dtype=self.dtype)
-        Kuu_s = extract_patches(assemble_band(lap), cells, k)   # (C, A_s, A_s)
-        Muu_s = extract_patches(assemble_band(mass), cells, k)
-        _, E_up, E_pu = S.element_matrices()
-        E_up = E_up.astype(self.dtype)
-        E_pu = E_pu.astype(self.dtype)
-
-        def blockdiag(comp):  # (C, A_s, A_s) -> (C, dim*A_s, dim*A_s)
-            Z = jnp.zeros((C, A_s, A_s), self.dtype)
-            rows = []
-            for c in range(dim):
-                cols = [comp if c == e else Z for e in range(dim)]
-                rows.append(jnp.concatenate(cols, axis=2))
-            return jnp.concatenate(rows, axis=1)
-
-        Kuu = blockdiag(Kuu_s.astype(self.dtype))
-        Muu = blockdiag(Muu_s.astype(self.dtype))
-        Zpp = jnp.zeros((C, n_pl, n_pl), self.dtype)
-        Zup = jnp.zeros((C, A_u, n_pl), self.dtype)
-        Zpu = jnp.zeros((C, n_pl, A_u), self.dtype)
+        from ..utils.native import band_indices
+        flat_idx = jnp.asarray(band_indices(cells, k))
 
         sizes = []
         for i in range(n_blocks):
@@ -81,47 +64,66 @@ class StokesVanka:
         P = int(offs[-1])
         self._sizes = sizes
         self._offs = offs
-
-        B = jnp.zeros((C, P, P), self.dtype)
-        for i in range(n_blocks):
-            _, iv, _ = blk.decompose(i)
-            for j in range(n_blocks):
-                _, jv, _ = blk.decompose(j)
-                a = float(Alpha_st[i, j])
-                b = float(Beta_st[i, j])
-                if a == 0.0 and b == 0.0:
-                    continue
-                if iv == 0 and jv == 0:
-                    sub = a * Kuu + b * Muu
-                elif iv == 0 and jv == 1:
-                    sub = a * E_up
-                elif iv == 1 and jv == 0:
-                    sub = a * E_pu
-                else:
-                    continue  # p-p: no coupling (and M_mask excludes it)
-                r0, r1 = int(offs[i]), int(offs[i + 1])
-                c0, c1 = int(offs[j]), int(offs[j + 1])
-                B = B.at[:, r0:r1, c0:c1].add(sub)
-        # valence row scaling (u rows: spatial dof multiplicity; p rows: 1)
+        dtype = self.dtype
         val_u = dof_valence(cells, k)
-        vloc = cell_gather(jnp.asarray(val_u, self.dtype), cells, k
-                           ).reshape(C, A_s)
-        vrows = []
-        for i in range(n_blocks):
-            _, iv, _ = blk.decompose(i)
-            if iv == 0:
-                vrows.append(jnp.concatenate([vloc] * dim, axis=1))
-            else:
-                vrows.append(jnp.ones((C, n_pl), self.dtype))
-        vrows = jnp.concatenate(vrows, axis=1)
-        B = B * vrows[:, :, None]
-        # regularize rows with no coupling at all (e.g. pressure rows on
-        # levels where every velocity dof is Dirichlet-constrained): unit
-        # diagonal there keeps B invertible and cannot change the smoother
-        # action (the corresponding residual entries are handled additively)
-        zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(self.dtype)
-        B = B + jax.vmap(jnp.diag)(zero_rows)
-        self.Binv = jnp.linalg.inv(B)
+        vloc_np = val_u
+
+        # one jitted program for the whole build (see vanka.py note)
+        def build(lap_, mass_, S_, fidx, vloc):
+            Kuu_s = _band_flat(lap_, fidx)[fidx]   # (C, A_s, A_s)
+            Muu_s = _band_flat(mass_, fidx)[fidx]
+            _, E_up, E_pu = S_.element_matrices()
+            E_up = E_up.astype(dtype)
+            E_pu = E_pu.astype(dtype)
+
+            def blockdiag(comp):
+                Z = jnp.zeros((C, A_s, A_s), dtype)
+                rows = []
+                for c in range(dim):
+                    cols = [comp if c == e else Z for e in range(dim)]
+                    rows.append(jnp.concatenate(cols, axis=2))
+                return jnp.concatenate(rows, axis=1)
+
+            Kuu = blockdiag(Kuu_s.astype(dtype))
+            Muu = blockdiag(Muu_s.astype(dtype))
+            B = jnp.zeros((C, P, P), dtype)
+            for i in range(n_blocks):
+                _, iv, _ = blk.decompose(i)
+                for j in range(n_blocks):
+                    _, jv, _ = blk.decompose(j)
+                    a = float(Alpha_st[i, j])
+                    b = float(Beta_st[i, j])
+                    if a == 0.0 and b == 0.0:
+                        continue
+                    if iv == 0 and jv == 0:
+                        sub = a * Kuu + b * Muu
+                    elif iv == 0 and jv == 1:
+                        sub = a * E_up
+                    elif iv == 1 and jv == 0:
+                        sub = a * E_pu
+                    else:
+                        continue  # p-p: no coupling (M_mask excludes it)
+                    r0, r1 = int(offs[i]), int(offs[i + 1])
+                    c0, c1 = int(offs[j]), int(offs[j + 1])
+                    B = B.at[:, r0:r1, c0:c1].add(sub)
+            # valence row scaling (u rows: spatial multiplicity; p rows: 1)
+            vl = cell_gather(vloc, cells, k).reshape(C, A_s)
+            vrows = []
+            for i in range(n_blocks):
+                _, iv, _ = blk.decompose(i)
+                if iv == 0:
+                    vrows.append(jnp.concatenate([vl] * dim, axis=1))
+                else:
+                    vrows.append(jnp.ones((C, n_pl), dtype))
+            vrows = jnp.concatenate(vrows, axis=1)
+            B = B * vrows[:, :, None]
+            # regularize fully-decoupled rows (degenerate coarse levels)
+            zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(dtype)
+            B = B + jax.vmap(jnp.diag)(zero_rows)
+            return jnp.linalg.inv(B)
+
+        self.Binv = jax.jit(build)(lap, mass, S, flat_idx,
+                                   jnp.asarray(vloc_np, dtype))
 
     def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: flat [T, n_u + n_p] residual."""

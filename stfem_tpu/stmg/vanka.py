@@ -28,24 +28,28 @@ def _band_offsets(dim: int, k: int) -> np.ndarray:
     return np.stack([g.reshape(-1) for g in grids], axis=-1)  # (n_off, dim)
 
 
+def _band_flat(op: LaplaceMassOperator, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Flattened banded assembled matrix (jit-traceable)."""
+    k, dim = op.degree, op.dim
+    E = op.element_matrices()  # (C, A, A) with constrained rows/cols zeroed
+    dof_shape = op.dof_shape
+    n_off = (2 * k + 1) ** dim
+    band = jnp.zeros(int(np.prod(dof_shape)) * n_off, op.dtype)
+    band = band.at[flat_idx.reshape(-1)].add(E.reshape(-1))
+    band = band.reshape(dof_shape + (n_off,))
+    center = int((n_off - 1) // 2)
+    band = band.at[..., center].add(1.0 - op.mask)
+    return band.reshape(-1)
+
+
 def assemble_band(op: LaplaceMassOperator) -> jnp.ndarray:
     """Assembled global matrix in banded form:
     band[*dofshape, n_off] = A[g, g + offset], with unit diagonal on
     constrained dofs.  n_off = (2k+1)^dim."""
     from ..utils.native import band_indices
-    k, dim, cells = op.degree, op.dim, op.cells
-    E = op.element_matrices()  # (C, A, A) with constrained rows/cols zeroed
-    C, A, _ = E.shape
-    dof_shape = op.dof_shape
-    n_off = (2 * k + 1) ** dim
-    flat_idx = band_indices(cells, k)                    # (C, A, A)
-    band = jnp.zeros(int(np.prod(dof_shape)) * n_off, op.dtype)
-    band = band.at[jnp.asarray(flat_idx.reshape(-1))].add(E.reshape(-1))
-    band = band.reshape(dof_shape + (n_off,))
-    # unit diagonal on constrained dofs
-    center = int((n_off - 1) // 2)
-    band = band.at[..., center].add(1.0 - op.mask)
-    return band
+    flat_idx = jnp.asarray(band_indices(op.cells, op.degree))
+    n_off = (2 * op.degree + 1) ** op.dim
+    return _band_flat(op, flat_idx).reshape(op.dof_shape + (n_off,))
 
 
 def extract_patches(band: jnp.ndarray, cells: tuple[int, ...],
@@ -98,30 +102,37 @@ class PreconditionVanka:
         Beta = np.asarray(Beta)
         self.n_blocks = Alpha.shape[0]
 
-        Kb = assemble_band(K_op)
-        Mb = assemble_band(M_op)
-        K_loc = extract_patches(Kb, self.cells, self.k)   # (C, A, A)
-        M_loc = extract_patches(Mb, self.cells, self.k)
+        from ..utils.native import band_indices
+        flat_idx = np.ascontiguousarray(band_indices(self.cells, self.k))
+        val = dof_valence(self.cells, self.k)
         A_ = jnp.asarray(Alpha, self.dtype)
         B_ = jnp.asarray(Beta, self.dtype)
-        # B[c] = kron(Alpha, K_loc[c]) + kron(Beta, M_loc[c])
-        B = (jnp.einsum("ij,cab->ciajb", A_, K_loc.astype(self.dtype))
-             + jnp.einsum("ij,cab->ciajb", B_, M_loc.astype(self.dtype)))
-        C, A = K_loc.shape[0], K_loc.shape[1]
-        P = self.n_blocks * A
-        B = B.reshape(C, P, P)
-        # row scaling by valence (reference compute_block_matrix.h:134-137:
-        # each entry is multiplied by scaling[row dof])
-        val = dof_valence(self.cells, self.k)
-        vloc = cell_gather(jnp.asarray(val, self.dtype), self.cells,
-                           self.k).reshape(C, A)
-        vrows = jnp.tile(vloc, (1, self.n_blocks))
-        B = B * vrows[:, :, None]
-        # unit diagonal on fully-decoupled rows (keeps degenerate coarse
-        # levels invertible; no effect on the smoother action)
-        zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(self.dtype)
-        B = B + jax.vmap(jnp.diag)(zero_rows)
-        self.Binv = jnp.linalg.inv(B)
+        n_blocks = self.n_blocks
+        cells, k, dtype = self.cells, self.k, self.dtype
+
+        # the whole heavy build (element matrices -> banded assembly -> patch
+        # extraction -> Kronecker patch matrices -> batched inversion) is ONE
+        # jitted program: fast on CPU and TPU alike, no eager-op dispatch
+        def build(K_op_, M_op_, fidx, vloc, A__, B__):
+            Kp = _band_flat(K_op_, fidx)[fidx]         # (C, A, A) patches
+            Mp = _band_flat(M_op_, fidx)[fidx]
+            B = (jnp.einsum("ij,cab->ciajb", A__, Kp.astype(dtype))
+                 + jnp.einsum("ij,cab->ciajb", B__, Mp.astype(dtype)))
+            C, A = Kp.shape[0], Kp.shape[1]
+            B = B.reshape(C, n_blocks * A, n_blocks * A)
+            # valence row scaling (reference compute_block_matrix.h:134-137)
+            vrows = jnp.tile(vloc, (1, n_blocks))
+            B = B * vrows[:, :, None]
+            # unit diagonal on fully-decoupled rows (degenerate coarse lvls)
+            zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(dtype)
+            B = B + jax.vmap(jnp.diag)(zero_rows)
+            return jnp.linalg.inv(B)
+
+        C = int(np.prod(cells))
+        A = (k + 1) ** self.dim
+        vloc = cell_gather(jnp.asarray(val, dtype), cells, k).reshape(C, A)
+        self.Binv = jax.jit(build)(K_op, M_op, jnp.asarray(flat_idx),
+                                   vloc, A_, B_)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         """src: [n_blocks, *dofshape] residual -> additive patch updates."""
