@@ -87,11 +87,22 @@ class PreconditionVanka:
 
     B_c = Alpha (x) K_loc_c + Beta (x) M_loc_c (block-major rows: block index
     major, cell dof minor -- the reference's layout, stmg.h:820-827),
-    row-scaled by valence, inverted batched at setup.
+    row-scaled by valence.
+
+    Two application modes:
+      * mode="fastdiag" (default): TPU-first factorization exploiting the
+        Kronecker patch structure.  With the generalized eigenbasis
+        K_loc V = M_loc V diag(lam), V^T M_loc V = I, the patch inverse is
+            B^{-1} = (I (x) V) [per-i (lam_i Alpha + Beta)^{-1}] (I (x) V^T),
+        so storage is V (A^2) + per-eigenvalue T x T inverses instead of the
+        dense (T A)^2 inverse: ~T^2/2x less memory and fewer flops per apply.
+        Valence row scaling commutes: (D B)^{-1} = B^{-1} D^{-1} with the
+        diagonal D applied to the gathered residual.
+      * mode="dense": the reference-style dense batched inverse.
     """
 
     def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
-                 Alpha, Beta, dtype=None):
+                 Alpha, Beta, dtype=None, mode: str = "fastdiag"):
         self.K_op = K_op
         self.mesh = K_op.mesh
         self.cells = K_op.cells
@@ -102,6 +113,7 @@ class PreconditionVanka:
         Beta = np.asarray(Beta)
         self.n_blocks = Alpha.shape[0]
 
+        self.mode = mode
         from ..utils.native import band_indices
         flat_idx = np.ascontiguousarray(band_indices(self.cells, self.k))
         val = dof_valence(self.cells, self.k)
@@ -128,22 +140,58 @@ class PreconditionVanka:
             B = B + jax.vmap(jnp.diag)(zero_rows)
             return jnp.linalg.inv(B)
 
+        def build_fastdiag(K_op_, M_op_, fidx, vloc, A__, B__):
+            Kp = _band_flat(K_op_, fidx)[fidx].astype(dtype)
+            Mp = _band_flat(M_op_, fidx)[fidx].astype(dtype)
+            # generalized symmetric-definite eigenproblem per patch:
+            # M = L L^T;  C = L^{-1} K L^{-T};  C Q = Q diag(lam);
+            # V = L^{-T} Q  =>  V^T M V = I, V^T K V = diag(lam)
+            L = jnp.linalg.cholesky(Mp)
+            Linv = jax.vmap(
+                lambda l: jax.scipy.linalg.solve_triangular(
+                    l, jnp.eye(l.shape[0], dtype=dtype), lower=True))(L)
+            Cmat = jnp.einsum("cab,cbd,ced->cae", Linv, Kp, Linv)
+            Cmat = 0.5 * (Cmat + jnp.swapaxes(Cmat, 1, 2))
+            lam, Q = jnp.linalg.eigh(Cmat)
+            V = jnp.einsum("cba,cbq->caq", Linv, Q)  # L^{-T} Q
+            # per-eigenvalue T x T inverses of (lam_i Alpha + Beta)
+            TT = (lam[:, :, None, None] * A__[None, None]
+                  + B__[None, None])
+            TTinv = jnp.linalg.inv(TT)                 # (C, A, T, T)
+            dinv = 1.0 / jnp.tile(vloc, (1, n_blocks))  # (C, T*A)
+            return V, TTinv, dinv
+
         C = int(np.prod(cells))
         A = (k + 1) ** self.dim
         vloc = cell_gather(jnp.asarray(val, dtype), cells, k).reshape(C, A)
-        self.Binv = jax.jit(build)(K_op, M_op, jnp.asarray(flat_idx),
-                                   vloc, A_, B_)
+        if mode == "fastdiag":
+            self.V, self.TTinv, self.dinv = jax.jit(build_fastdiag)(
+                K_op, M_op, jnp.asarray(flat_idx), vloc, A_, B_)
+            self.Binv = None
+        else:
+            self.Binv = jax.jit(build)(K_op, M_op, jnp.asarray(flat_idx),
+                                       vloc, A_, B_)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         """src: [n_blocks, *dofshape] residual -> additive patch updates."""
         src = src.astype(self.dtype)
-        C = self.Binv.shape[0]
-        r = cell_gather(src, self.cells, self.k)   # [n_blocks, *cells, *loc]
         nb = src.shape[0]
-        r = r.reshape(nb, C, -1)                   # [nb, C, A]
-        r = jnp.transpose(r, (1, 0, 2)).reshape(C, -1)   # [C, nb*A]
-        y = jnp.einsum("cij,cj->ci", self.Binv, r)
-        A = y.shape[1] // nb
-        y = y.reshape(C, nb, A).transpose(1, 0, 2)
+        r = cell_gather(src, self.cells, self.k)   # [nb, *cells, *loc]
+        if self.Binv is not None:
+            C = self.Binv.shape[0]
+            r = r.reshape(nb, C, -1)
+            r = jnp.transpose(r, (1, 0, 2)).reshape(C, -1)   # [C, nb*A]
+            y = jnp.einsum("cij,cj->ci", self.Binv, r)
+            A = y.shape[1] // nb
+            y = y.reshape(C, nb, A).transpose(1, 0, 2)
+        else:
+            C = self.V.shape[0]
+            A = self.V.shape[1]
+            r = r.reshape(nb, C, A).transpose(1, 0, 2)       # [C, nb, A]
+            r = r * self.dinv.reshape(C, nb, A)              # D^{-1}
+            w = jnp.einsum("caq,cta->ctq", self.V, r)        # V^T r
+            w = jnp.einsum("cqts,csq->ctq", self.TTinv, w)   # per-eig T x T
+            y = jnp.einsum("caq,ctq->cta", self.V, w)        # V back
+            y = y.transpose(1, 0, 2)
         y = y.reshape((nb,) + tuple(self.cells) + (self.k + 1,) * self.dim)
         return cell_scatter(y, self.cells, self.k)
