@@ -41,7 +41,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
-    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "8"))
+    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "16"))
     n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "16"))
     fe_degree = 2              # dG(2) in time
     space_degree = 4           # Q4 in space

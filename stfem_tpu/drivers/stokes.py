@@ -164,7 +164,8 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
                      mean_pressure: bool = True,
                      preconditioner_factory=None, gmres_maxiter: int = 200,
                      rel_tol: float = 1e-12,
-                     extrapolate: bool = True) -> StokesCycleResult:
+                     extrapolate: bool = True,
+                     nitsche_boundary: bool = False) -> StokesCycleResult:
     dim = 2
     is_cgp = type_ == TimeStepType.CGP
     u_degree = fe_degree + 1
@@ -179,8 +180,14 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
     tau = end_time * 2.0 ** (-(refinement + 1)) / n_steps
     T = nt * n_timesteps_at_once
 
-    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity)
-    Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0)
+    weak_faces = ()
+    if nitsche_boundary:
+        # all boundaries weak (conv test: zero Dirichlet data => no extra RHS)
+        weak_faces = tuple((d, sd) for d in range(dim) for sd in (0, 1))
+    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
+                       weak_faces=weak_faces)
+    Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
+                             mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
                                      n_timesteps_at_once)
     matrix = StokesSystemMatrix(S, Mu, a, b)
@@ -242,7 +249,7 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
         ctx = dict(mesh=mesh, fe_degree=fe_degree, u_degree=u_degree,
                    p_degree=p_degree, type_=type_, viscosity=viscosity,
                    n_timesteps_at_once=n_timesteps_at_once, time_step=tau,
-                   n_q=n_q, refinement=refinement)
+                   n_q=n_q, refinement=refinement, weak_faces=weak_faces)
         precond = preconditioner_factory(ctx)
 
     @jax.jit
@@ -306,3 +313,121 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
         l2_h1_u=float(np.sqrt(h1)), l2_hdiv_u=float(np.sqrt(hdiv)),
         l2_l2_p=float(np.sqrt(l2p)), linf_linf_p=float(linfp),
         l2_h1_p=float(np.sqrt(h1p)))
+
+
+def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
+                   type_: TimeStepType = TimeStepType.DG,
+                   n_timesteps_at_once: int = 1, viscosity: float = 1.0,
+                   end_time: float = 2.0, u_max: float = 1.0,
+                   preconditioner_factory=None, gmres_maxiter: int = 100,
+                   rel_tol: float = 1e-8, n_slabs_max: int | None = None):
+    """Lid-driven cavity with a weakly (Nitsche) imposed moving wall.
+
+    Reference setup (tests/json/tf05stokes.json + stokes::LidDriven,
+    stokes.h:72-99): boundary id 1 (x = x_max face) moves tangentially with
+    u_y = u_max * sin(pi t / 4); all other walls no-slip.  Here the moving
+    wall is the weak face, the other walls are strongly eliminated.
+    Returns per-slab iteration counts and the final (u, p) fields.
+    """
+    dim = 2
+    is_cgp = type_ == TimeStepType.CGP
+    u_degree = fe_degree + 1
+    p_degree = fe_degree
+    n_q = u_degree + 1
+    nt = fe_degree if is_cgp else fe_degree + 1
+    mesh = StructuredMesh([1, 1], [0.0, 0.0], [1.0, 1.0],
+                          refinement=refinement)
+    step_ = min(mesh.coarse_cell_diameter, end_time)
+    n_steps = max(int(end_time / step_), 1)
+    tau = end_time * 2.0 ** (-(refinement + 1)) / n_steps
+    T = nt * n_timesteps_at_once
+
+    weak_faces = ((0, 1),)   # x = x_max: the moving wall (boundary id 1)
+    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
+                       weak_faces=weak_faces)
+    Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
+                             mask=S.mask_u_np)
+    a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
+                                     n_timesteps_at_once)
+    a1, b1, g1, z1 = get_fe_time_weights(type_, fe_degree, tau, 1)
+    matrix = StokesSystemMatrix(S, Mu, a, b)
+    rhs_matrix = StokesSystemMatrix(S, Mu, a, b,
+                                    gamma=g if is_cgp else None,
+                                    zeta=z if is_cgp else g, type_=type_)
+
+    def lid_g(coords, t):
+        gx = jnp.zeros(coords.shape[:-1])
+        gy = jnp.full(coords.shape[:-1], u_max) * jnp.sin(np.pi * t / 4.0)
+        return jnp.stack([gx, gy], axis=-1)
+
+    tq_pts = get_time_quad(type_, fe_degree)[0]
+
+    def assemble_nitsche_rhs(time):
+        """Reference TimeIntegrator::assemble_nitsche
+        (time_integrators.h:126-171): weak data integrated per time-quadrature
+        point with the diagonal-Alpha rule."""
+        parts_u = [None] * T
+        parts_p = [None] * T
+        for it in range(n_timesteps_at_once):
+            for j, q in enumerate(tq_pts):
+                t = time + tau * it + tau * float(q)
+                ru, rp = S.nitsche_rhs(lid_g, t)
+                if type_ == TimeStepType.DG:
+                    tt = it * nt + j
+                    coef = [(tt, a1[j, j])]
+                else:
+                    if j == 0:
+                        coef = [(it * nt + i, -g1[i, 0]) for i in range(nt)]
+                    else:
+                        coef = [(it * nt + j - 1, a1[j - 1, j - 1])]
+                for tt, c in coef:
+                    pu = ru * c
+                    pp = rp * c
+                    parts_u[tt] = pu if parts_u[tt] is None \
+                        else parts_u[tt] + pu
+                    parts_p[tt] = pp if parts_p[tt] is None \
+                        else parts_p[tt] + pp
+        flat = [jnp.concatenate([parts_u[tt].reshape(-1),
+                                 parts_p[tt].reshape(-1)]) for tt in range(T)]
+        return jnp.stack(flat)
+
+    precond = None
+    if preconditioner_factory is not None:
+        ctx = dict(mesh=mesh, fe_degree=fe_degree, u_degree=u_degree,
+                   p_degree=p_degree, type_=type_, viscosity=viscosity,
+                   n_timesteps_at_once=n_timesteps_at_once, time_step=tau,
+                   n_q=n_q, refinement=refinement, weak_faces=weak_faces)
+        precond = preconditioner_factory(ctx)
+
+    @jax.jit
+    def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
+        rhs = rhs + assemble_nitsche_rhs(time)
+        x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
+        res = fgmres(matrix_.vmult, rhs, x0, precondition=precond_,
+                     maxiter=gmres_maxiter, abstol=1e-12, reltol=rel_tol)
+        return res
+
+    prev_flat = jnp.zeros(S.n_u + S.n_p)
+    time = 0.0
+    iters = []
+    n_slabs = int(round(end_time / (n_timesteps_at_once * tau)))
+    if n_slabs_max is not None:
+        n_slabs = min(n_slabs, n_slabs_max)
+    for s in range(n_slabs):
+        res = solve_slab(matrix, rhs_matrix, precond, prev_flat,
+                         jnp.asarray(time))
+        assert bool(res.converged), (time, float(res.residual))
+        iters.append(int(res.iterations))
+        x = res.x
+        u_time, p_time = S.unpack(x)
+        means = jnp.sum(p_time[..., 0], axis=tuple(range(1, dim + 1))) \
+            * float(np.prod(mesh.h)) / 1.0
+        p_time = p_time.at[..., 0].add(-means.reshape((T,) + (1,) * dim))
+        prev_flat = S.pack(u_time[-1], p_time[-1])
+        time += n_timesteps_at_once * tau
+    u, p = S.unpack(prev_flat)
+    return dict(iterations=iters, u=np.asarray(u), p=np.asarray(p),
+                tau=tau, time=time)

@@ -29,7 +29,12 @@ from .spatial import LaplaceMassOperator, _sumfac, cell_gather, cell_scatter
 class StokesOperator:
     def __init__(self, mesh: StructuredMesh, u_degree: int, p_degree: int,
                  n_q: int, viscosity: float = 1.0, dtype=jnp.float64,
-                 dg_pressure: bool = True):
+                 dg_pressure: bool = True, weak_faces=(),
+                 penalty1: float = 20.0, penalty2: float = 10.0):
+        """weak_faces: iterable of (axis, side) boundary faces with Nitsche
+        weak Dirichlet conditions (reference operators.h:1658-1751); those
+        faces are NOT eliminated from the velocity mask.  penalties gamma1 =
+        nu*penalty1, gamma2 = penalty2 (reference ctor defaults 20/10)."""
         assert dg_pressure, "FE_Q pressure: not yet implemented"
         self.mesh = mesh
         self.dim = mesh.dim
@@ -50,7 +55,23 @@ class StokesOperator:
         assert geom.cartesian, "Stokes on distorted meshes: TODO"
         self.jxw = jnp.asarray(geom.jxw, dtype)
         self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
-        self.mask_u_np = mesh.boundary_dof_mask(u_degree)
+        self.weak_faces = tuple(weak_faces)
+        self.gamma1 = viscosity * float(penalty1)
+        self.gamma2 = float(penalty2)
+        mask = mesh.boundary_dof_mask(u_degree)
+        for (d0, side) in self.weak_faces:
+            idx = [slice(None)] * self.dim
+            idx[d0] = 0 if side == 0 else -1
+            mask[tuple(idx)] = 1.0
+        # corners shared with strong faces stay eliminated
+        for d in range(self.dim):
+            for sd in (0, -1):
+                if (d, 0 if sd == 0 else 1) in self.weak_faces:
+                    continue
+                idx = [slice(None)] * self.dim
+                idx[d] = sd
+                mask[tuple(idx)] = 0.0
+        self.mask_u_np = mask
         self.mask_u = jnp.asarray(self.mask_u_np, dtype)
         # modal pressure basis at the tensor Gauss points (reference cell)
         self.Pq = jnp.asarray(
@@ -119,8 +140,12 @@ class StokesOperator:
                 contrib = _sumfac(mats, t, dim, forward=False)
                 acc = contrib if acc is None else acc + contrib
             ru_comps.append(cell_scatter(acc, self.cells, k))
-        ru = jnp.stack(ru_comps, axis=-self.dim - 1) * self.mask_u
-        return ru, rp
+        ru = jnp.stack(ru_comps, axis=-self.dim - 1)
+        if self.weak_faces:
+            ru_n, rp_n = self.apply_nitsche(u, p)
+            ru = ru + ru_n
+            rp = rp + rp_n
+        return ru * self.mask_u, rp
 
     def apply_flat(self, x: jnp.ndarray) -> jnp.ndarray:
         u, p = self.unpack(x)
@@ -155,3 +180,229 @@ class StokesOperator:
         E_up = E_up * mrows[:, :, None]
         E_pu = -jnp.transpose(E_up, (0, 2, 1))
         return E_uu, E_up, E_pu
+
+    # -- Nitsche weak boundary machinery ------------------------------------
+    # (reference do_boundary_face_integral_local, operators.h:1658-1751, and
+    #  StokesNitscheMatrixFreeOperator, operators.h:1768-1951)
+    def _face_setup(self, d0: int, side: int):
+        """Static per-face data: edge derivative weights, face quadrature,
+        modal pressure trace, face coords, face measure."""
+        from ..mesh.fe import q_nodes_1d
+        from ..mesh.fe_dgp import dgp_exponents, shifted_legendre_value
+        from ..time.quadrature import LagrangeBasis, gauss
+        dim, k = self.dim, self.u_degree
+        mesh = self.mesh
+        basis = LagrangeBasis(np.asarray(q_nodes_1d(k)))
+        edge_x = 0.0 if side == 0 else 1.0
+        D1edge = basis.deriv_matrix(np.array([edge_x]))[0]   # (k+1,)
+        oth = [d for d in range(dim) if d != d0]
+        qx, qw = gauss(self.n_q)
+        jxw = np.ones((self.n_q,) * (dim - 1))
+        for i, d in enumerate(oth):
+            shape = [1] * (dim - 1)
+            shape[i] = self.n_q
+            jxw = jxw * (qw * mesh.h[d]).reshape(shape)
+        hf = float(np.prod([mesh.h[d] for d in oth])) ** (
+            1.0 / max(dim - 1, 1))
+        exps = dgp_exponents(dim, self.p_degree)
+        Pqf = np.ones((len(exps),) + (self.n_q,) * (dim - 1))
+        for m, e in enumerate(exps):
+            Pqf[m] *= shifted_legendre_value(e[d0], np.array([edge_x]))[0]
+            for i, d in enumerate(oth):
+                shape = [1] * (dim - 1)
+                shape[i] = self.n_q
+                Pqf[m] = Pqf[m] * shifted_legendre_value(
+                    e[d], qx).reshape(shape)
+        # physical face-quad coordinates [cells_oth.., q_oth.., dim]
+        cells_oth = tuple(mesh.cells[d] for d in oth)
+        coords = np.zeros(cells_oth + (self.n_q,) * (dim - 1) + (dim,))
+        coords[..., d0] = mesh.lower[d0] if side == 0 else mesh.upper[d0]
+        for i, d in enumerate(oth):
+            pos = (mesh.lower[d]
+                   + mesh.h[d] * (np.arange(mesh.cells[d])[:, None]
+                                  + qx[None, :]))
+            shape = [1] * (2 * (dim - 1))
+            shape[i] = mesh.cells[d]
+            shape[(dim - 1) + i] = self.n_q
+            coords[..., d] = pos.reshape(shape)
+        return dict(D1edge=jnp.asarray(D1edge, self.dtype), oth=oth,
+                    jxw=jnp.asarray(jxw, self.dtype), hf=hf,
+                    Pqf=jnp.asarray(Pqf, self.dtype),
+                    coords=jnp.asarray(coords, self.dtype))
+
+    def _trace_eval(self, field, oth):
+        """[..., *dofs_oth] -> [..., *cells_oth, *q_oth]."""
+        cells_oth = tuple(self.cells[d] for d in oth)
+        fc = cell_gather(field, cells_oth, self.u_degree)
+        return _sumfac([self.S] * (self.dim - 1), fc, self.dim - 1)
+
+    def _trace_integrate(self, vals, oth):
+        cells_oth = tuple(self.cells[d] for d in oth)
+        y = _sumfac([self.S] * (self.dim - 1), vals, self.dim - 1,
+                    forward=False)
+        return cell_scatter(y, cells_oth, self.u_degree)
+
+    def apply_nitsche(self, u, p):
+        """Weak-boundary operator contributions (ru_add, rp_add).
+
+        u: [..., dim, *grid] (already masked by apply()), p: [..., cells, m].
+        """
+        dim, k = self.dim, self.u_degree
+        nu = self.viscosity
+        L = u.ndim - dim - 1  # number of leading axes
+        ru = jnp.zeros(u.shape, self.dtype)
+        rp = jnp.zeros(p.shape, self.dtype)
+        for (d0, side) in self.weak_faces:
+            fd = self._face_setup(d0, side)
+            oth, jxwf, hf = fd["oth"], fd["jxw"], fd["hf"]
+            D1e = fd["D1edge"]
+            n_sign = -1.0 if side == 0 else 1.0
+            eidx = 0 if side == 0 else -1
+            grid_sl = [slice(None)] * dim
+            grid_sl[d0] = eidx
+            cell_sl = [slice(None)] * dim
+            cell_sl[d0] = eidx
+            layer_sl = [slice(None)] * dim
+            layer_sl[d0] = (slice(0, k + 1) if side == 0
+                            else slice(-(k + 1), None))
+            uq, dnq = [], []
+            for c in range(dim):
+                uc = jnp.take(u, c, axis=L)          # lead + grid
+                uf = uc[(..., *grid_sl)]             # lead + dofs_oth
+                uq.append(self._trace_eval(uf, oth))
+                # normal derivative from the boundary-cell layer only
+                ul = uc[(..., *layer_sl)]
+                dn = jnp.tensordot(D1e, jnp.moveaxis(ul, L + d0, 0),
+                                   axes=(0, 0)) * (n_sign / self.mesh.h[d0])
+                dnq.append(self._trace_eval(dn, oth))
+            p_b = p[(..., *cell_sl, slice(None))]
+            pq = jnp.einsum("...m,mQ->...Q", p_b,
+                            fd["Pqf"].reshape(self.n_ploc, -1))
+            pq = pq.reshape(p_b.shape[:-1] + (self.n_q,) * (dim - 1))
+            un = n_sign * uq[d0]
+            rp_add = -jnp.einsum(
+                "mQ,...Q->...m", fd["Pqf"].reshape(self.n_ploc, -1),
+                (un * jxwf).reshape(un.shape[:un.ndim - (dim - 1)] + (-1,)))
+            rp = rp.at[(..., *cell_sl, slice(None))].add(rp_add)
+            for c in range(dim):
+                n_c = n_sign if c == d0 else 0.0
+                T1 = (self.gamma1 / hf) * uq[c] - nu * dnq[c]
+                if c == d0:
+                    T1 = T1 + (self.gamma2 / hf) * n_c * un + n_c * pq
+                y1 = self._trace_integrate(T1 * jxwf, oth)
+                ru = ru.at[(..., c, *grid_sl)].add(y1)
+                # adjoint consistency: -nu u against the normal derivative
+                y2 = self._trace_integrate((-nu * uq[c]) * jxwf, oth)
+                prof = D1e * (n_sign / self.mesh.h[d0])
+                pshape = [1] * (y2.ndim + 1)
+                pshape[y2.ndim - (dim - 1) + d0] = k + 1
+                arr = jnp.expand_dims(y2, y2.ndim - (dim - 1) + d0)
+                arr = arr * prof.reshape(pshape)
+                cell_layer = [slice(None)] * dim
+                cell_layer[d0] = (slice(0, k + 1) if side == 0
+                                  else slice(-(k + 1), None))
+                ru = ru.at[(..., c, *cell_layer)].add(arr)
+        return ru, rp
+
+    def nitsche_rhs(self, g_fn, t):
+        """RHS from weak Dirichlet data g(x, t): returns (rhs_u, rhs_p) in
+        grid layout (reference StokesNitscheMatrixFreeOperator::vmult)."""
+        dim, k = self.dim, self.u_degree
+        nu = self.viscosity
+        rhs_u = jnp.zeros((dim,) + tuple(self.dof_shape_u), self.dtype)
+        rhs_p = jnp.zeros(tuple(self.cells) + (self.n_ploc,), self.dtype)
+        for (d0, side) in self.weak_faces:
+            fd = self._face_setup(d0, side)
+            oth, jxwf, hf = fd["oth"], fd["jxw"], fd["hf"]
+            D1e = fd["D1edge"]
+            n_sign = -1.0 if side == 0 else 1.0
+            eidx = 0 if side == 0 else -1
+            grid_sl = [slice(None)] * dim
+            grid_sl[d0] = eidx
+            cell_sl = [slice(None)] * dim
+            cell_sl[d0] = eidx
+            g = g_fn(fd["coords"], t)               # [cells_oth, q_oth, dim]
+            gn = n_sign * g[..., d0]
+            rp_add = -jnp.einsum(
+                "mQ,...Q->...m", fd["Pqf"].reshape(self.n_ploc, -1),
+                (gn * jxwf).reshape(gn.shape[:gn.ndim - (dim - 1)] + (-1,)))
+            rhs_p = rhs_p.at[(*cell_sl, slice(None))].add(rp_add)
+            for c in range(dim):
+                T1 = (self.gamma1 / hf) * g[..., c]
+                if c == d0:
+                    T1 = T1 + (self.gamma2 / hf) * n_sign * gn
+                y1 = self._trace_integrate(T1 * jxwf, oth)
+                rhs_u = rhs_u.at[(c, *grid_sl)].add(y1)
+                y2 = self._trace_integrate((-nu * g[..., c]) * jxwf, oth)
+                prof = D1e * (n_sign / self.mesh.h[d0])
+                pshape = [1] * (y2.ndim + 1)
+                pshape[y2.ndim - (dim - 1) + d0] = k + 1
+                arr = jnp.expand_dims(y2, y2.ndim - (dim - 1) + d0)
+                arr = arr * prof.reshape(pshape)
+                cell_layer = [slice(None)] * dim
+                cell_layer[d0] = (slice(0, k + 1) if side == 0
+                                  else slice(-(k + 1), None))
+                rhs_u = rhs_u.at[(c, *cell_layer)].add(arr)
+        # contributions landing on strongly-eliminated dofs (e.g. corners
+        # shared with strong faces) must not enter the residual
+        return rhs_u * self.mask_u, rhs_p
+
+    def face_element_matrices(self):
+        """Per weak face: (d0, side, Fuu[c] list, Fup, Fpu) -- the Nitsche
+        contributions to the boundary-layer cells' element matrices (identical
+        for every cell on the layer, Cartesian geometry).  Fuu[c]: (A, A) for
+        component c; Fup: (dim*A, nploc) component-major rows; Fpu transposed
+        with the p-row sign (reference compute_matrix_helper incl. faces,
+        operators.h:1472-1494)."""
+        from ..mesh.fe import shape_data_1d
+        dim, k = self.dim, self.u_degree
+        nu = self.viscosity
+        A = (k + 1) ** dim
+        out = []
+        sd = shape_data_1d(k, self.n_q)
+        for (d0, side) in self.weak_faces:
+            fd = self._face_setup(d0, side)
+            oth = fd["oth"]
+            jxwf = np.asarray(fd["jxw"]).reshape(-1)
+            hf = fd["hf"]
+            n_sign = -1.0 if side == 0 else 1.0
+            Qf = self.n_q ** (dim - 1)
+            # local multi-indices
+            locs = np.stack(np.meshgrid(*([np.arange(k + 1)] * dim),
+                                        indexing="ij"), -1).reshape(A, dim)
+            edge_loc = 0 if side == 0 else k
+            S1 = np.asarray(sd.S)                     # (q, a)
+            D1e = np.asarray(fd["D1edge"])
+            tr = np.ones((A, Qf))
+            Dn = np.ones((A, Qf))
+            q_idx = np.stack(np.meshgrid(*([np.arange(self.n_q)] * (dim - 1)),
+                                         indexing="ij"), -1).reshape(Qf,
+                                                                     dim - 1)
+            for a in range(A):
+                t_a = 1.0 if locs[a, d0] == edge_loc else 0.0
+                d_a = D1e[locs[a, d0]] * n_sign / self.mesh.h[d0]
+                prof_t = np.full(Qf, t_a)
+                prof_d = np.full(Qf, d_a)
+                for i, d in enumerate(oth):
+                    vals = S1[q_idx[:, i], locs[a, d]]
+                    prof_t = prof_t * vals
+                    prof_d = prof_d * vals
+                tr[a] = prof_t
+                Dn[a] = prof_d
+            Pqf = np.asarray(fd["Pqf"]).reshape(self.n_ploc, Qf)
+            Fuu = []
+            for c in range(dim):
+                g = self.gamma1 / hf + (self.gamma2 / hf if c == d0 else 0.0)
+                M = (g * np.einsum("q,aq,bq->ab", jxwf, tr, tr)
+                     - nu * np.einsum("q,aq,bq->ab", jxwf, tr, Dn)
+                     - nu * np.einsum("q,aq,bq->ab", jxwf, Dn, tr))
+                Fuu.append(M)
+            Fup = np.zeros((dim * A, self.n_ploc))
+            Fpu = np.zeros((self.n_ploc, dim * A))
+            blk = np.einsum("q,aq,mq->am", jxwf, tr, Pqf) * n_sign
+            Fup[d0 * A:(d0 + 1) * A, :] = blk          # + p n . v
+            Fpu[:, d0 * A:(d0 + 1) * A] = -blk.T       # - q u . n
+            out.append((d0, side, [jnp.asarray(m, self.dtype) for m in Fuu],
+                        jnp.asarray(Fup, self.dtype),
+                        jnp.asarray(Fpu, self.dtype)))
+        return out

@@ -328,8 +328,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                       use_pmg: bool = True,
                       fe_degree_min: int | None = None,
                       n_timesteps_at_once_min: int | None = None,
-                      poly_coarsening=PolynomialCoarseningSequenceType.bisect
-                      ) -> GMG:
+                      poly_coarsening=PolynomialCoarseningSequenceType.bisect,
+                      weak_faces=()) -> GMG:
     """STMG hierarchy for the Stokes slab system on the flat [T, n_u+n_p]
     layout (reference tests/tp_03stokes.cc level setup): velocity Q_{k+1}
     with pressure DGP(k) per level, block Vanka with velocity-only mass mask.
@@ -402,9 +402,9 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
         key = (mesh_idx[l], u_deg)
         if key not in sop_cache:
             S = StokesOperator(mesh_l, u_deg, p_deg, u_deg + 1, viscosity,
-                               dtype=dtype)
+                               dtype=dtype, weak_faces=weak_faces)
             Mu = LaplaceMassOperator(mesh_l, u_deg, u_deg + 1, 1.0, 0.0,
-                                     dtype=dtype)
+                                     dtype=dtype, mask=S.mask_u_np)
             sop_cache[key] = (S, Mu)
         S, Mu = sop_cache[key]
         a_l, b_l = fetw[l][0], fetw[l][1]
@@ -466,8 +466,7 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                 P1ds = [p_prolongation_global_1d(mesh_hi.cells[d], deg_lo,
                                                  deg_hi)
                         for d in range(mesh_hi.dim)]
-            ut = SpaceTransfer(P1ds, mesh_hi.boundary_dof_mask(deg_hi),
-                               mesh_lo.boundary_dof_mask(deg_lo), dtype)
+            ut = SpaceTransfer(P1ds, S_hi.mask_u_np, S_lo.mask_u_np, dtype)
             transfers.append(StokesSpaceTransfer(
                 S_hi, S_lo, ut, "h" if mgt == MGType.h else "p", dtype))
         else:

@@ -48,13 +48,34 @@ class StokesVanka:
         Alpha_st = np.asarray(Alpha_st)
         Beta_st = np.asarray(Beta_st)
 
-        # assembled uu (scalar, nu included) and mass patches
+        # assembled uu (scalar, nu included) and mass patches; masks follow
+        # the Stokes operator (weak Nitsche faces stay free)
         lap = LaplaceMassOperator(S.mesh, k, S.n_q, 0.0, S.viscosity,
-                                  dtype=self.dtype)
+                                  dtype=self.dtype, mask=S.mask_u_np)
         mass = LaplaceMassOperator(S.mesh, k, S.n_q, 1.0, 0.0,
-                                   dtype=self.dtype)
+                                   dtype=self.dtype, mask=S.mask_u_np)
         from ..utils.native import band_indices
         flat_idx = jnp.asarray(band_indices(cells, k))
+
+        # Nitsche face contributions per component / coupling, scattered onto
+        # the boundary-layer cells
+        face_uu = None
+        face_up = None
+        face_pu = None
+        if S.weak_faces:
+            face_uu = [jnp.zeros((C, A_s, A_s), self.dtype)
+                       for _ in range(dim)]
+            face_up = jnp.zeros((C, dim * A_s, n_pl), self.dtype)
+            face_pu = jnp.zeros((C, n_pl, dim * A_s), self.dtype)
+            cell_grid = np.arange(C).reshape(cells)
+            for (d0, side, Fuu, Fup, Fpu) in S.face_element_matrices():
+                sl = [slice(None)] * dim
+                sl[d0] = 0 if side == 0 else -1
+                layer = cell_grid[tuple(sl)].reshape(-1)
+                for c in range(dim):
+                    face_uu[c] = face_uu[c].at[layer].add(Fuu[c])
+                face_up = face_up.at[layer].add(Fup)
+                face_pu = face_pu.at[layer].add(Fpu)
 
         sizes = []
         for i in range(n_blocks):
@@ -69,23 +90,30 @@ class StokesVanka:
         vloc_np = val_u
 
         # one jitted program for the whole build (see vanka.py note)
-        def build(lap_, mass_, S_, fidx, vloc):
-            Kuu_s = _band_flat(lap_, fidx)[fidx]   # (C, A_s, A_s)
+        def build(lap_, mass_, S_, fidx, vloc, face_uu_, face_up_, face_pu_):
+            Kuu_c = []
+            for c in range(dim):
+                extra = None if face_uu_ is None else face_uu_[c]
+                Kuu_c.append(_band_flat(lap_, fidx, extra)[fidx]
+                             .astype(dtype))
             Muu_s = _band_flat(mass_, fidx)[fidx]
             _, E_up, E_pu = S_.element_matrices()
             E_up = E_up.astype(dtype)
             E_pu = E_pu.astype(dtype)
+            if face_up_ is not None:
+                E_up = E_up + face_up_
+                E_pu = E_pu + face_pu_
 
-            def blockdiag(comp):
+            def blockdiag_list(comps):
                 Z = jnp.zeros((C, A_s, A_s), dtype)
                 rows = []
                 for c in range(dim):
-                    cols = [comp if c == e else Z for e in range(dim)]
+                    cols = [comps[c] if c == e else Z for e in range(dim)]
                     rows.append(jnp.concatenate(cols, axis=2))
                 return jnp.concatenate(rows, axis=1)
 
-            Kuu = blockdiag(Kuu_s.astype(dtype))
-            Muu = blockdiag(Muu_s.astype(dtype))
+            Kuu = blockdiag_list(Kuu_c)
+            Muu = blockdiag_list([Muu_s.astype(dtype)] * dim)
             B = jnp.zeros((C, P, P), dtype)
             for i in range(n_blocks):
                 _, iv, _ = blk.decompose(i)
@@ -123,7 +151,8 @@ class StokesVanka:
             return jnp.linalg.inv(B)
 
         self.Binv = jax.jit(build)(lap, mass, S, flat_idx,
-                                   jnp.asarray(vloc_np, dtype))
+                                   jnp.asarray(vloc_np, dtype),
+                                   face_uu, face_up, face_pu)
 
     def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: flat [T, n_u + n_p] residual."""

@@ -28,10 +28,14 @@ def _band_offsets(dim: int, k: int) -> np.ndarray:
     return np.stack([g.reshape(-1) for g in grids], axis=-1)  # (n_off, dim)
 
 
-def _band_flat(op: LaplaceMassOperator, flat_idx: jnp.ndarray) -> jnp.ndarray:
-    """Flattened banded assembled matrix (jit-traceable)."""
+def _band_flat(op: LaplaceMassOperator, flat_idx: jnp.ndarray,
+               extra_E: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Flattened banded assembled matrix (jit-traceable).  extra_E: optional
+    per-cell additions (e.g. Nitsche face terms on boundary-layer cells)."""
     k, dim = op.degree, op.dim
     E = op.element_matrices()  # (C, A, A) with constrained rows/cols zeroed
+    if extra_E is not None:
+        E = E + extra_E
     dof_shape = op.dof_shape
     n_off = (2 * k + 1) ** dim
     band = jnp.zeros(int(np.prod(dof_shape)) * n_off, op.dtype)

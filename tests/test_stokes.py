@@ -54,3 +54,47 @@ def test_stokes_cgp_converges():
                           gmres_maxiter=40)
     assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 1.7
     assert r2.avg_iterations <= 16
+
+
+def test_stokes_nitsche_stmg():
+    """Weak (Nitsche) boundaries: golden-order convergence with O(10) iters."""
+    import numpy as np
+
+    def factory(ctx):
+        return build_stmg_stokes(
+            ctx["mesh"], ctx["fe_degree"], ctx["type_"],
+            ctx["n_timesteps_at_once"], ctx["time_step"],
+            viscosity=ctx["viscosity"],
+            params=GMGParams(smoothing_range=5.0), fe_degree_min=1,
+            space_time_level_first=False, weak_faces=ctx["weak_faces"])
+
+    r1 = run_stokes_cycle(refinement=1, fe_degree=1, type_=TimeStepType.DG,
+                          preconditioner_factory=factory, gmres_maxiter=40,
+                          nitsche_boundary=True)
+    r2 = run_stokes_cycle(refinement=2, fe_degree=1, type_=TimeStepType.DG,
+                          preconditioner_factory=factory, gmres_maxiter=40,
+                          nitsche_boundary=True)
+    assert r1.avg_iterations <= 12 and r2.avg_iterations <= 12
+    assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 2.0
+
+
+def test_lid_driven_cavity():
+    from stfem_tpu.drivers.stokes import run_lid_driven
+
+    def factory(ctx):
+        return build_stmg_stokes(
+            ctx["mesh"], ctx["fe_degree"], ctx["type_"],
+            ctx["n_timesteps_at_once"], ctx["time_step"],
+            viscosity=ctx["viscosity"],
+            params=GMGParams(smoothing_range=5.0), fe_degree_min=1,
+            space_time_level_first=False, weak_faces=ctx["weak_faces"])
+
+    out = run_lid_driven(refinement=2, end_time=1.0,
+                         preconditioner_factory=factory, gmres_maxiter=60,
+                         n_slabs_max=3)
+    import numpy as np
+    assert max(out["iterations"]) <= 30
+    u = out["u"]
+    assert np.all(np.isfinite(u))
+    # the moving wall drags fluid: tangential velocity near the wall nonzero
+    assert np.max(np.abs(u[1])) > 1e-3
