@@ -155,7 +155,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                n_timesteps_at_once_min: int | None = None,
                space_degree_min: int = 1,
                poly_coarsening=PolynomialCoarseningSequenceType.bisect,
-               laplace_coefficient=None) -> GMG:
+               laplace_coefficient=None, time_only: bool = False) -> GMG:
     """Assemble the full STMG hierarchy for a heat/wave cycle.
 
     Level-ladder conventions follow the reference goldens (tp_01.output):
@@ -171,8 +171,10 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
     if n_timesteps_at_once_min is None:
         n_timesteps_at_once_min = max(n_timesteps_at_once // 2, 1)
 
-    n_sp_lvl = mesh_fine.refinement + 1
-    if mesh_fine.distort != 0.0:
+    n_sp_lvl = 1 if time_only else mesh_fine.refinement + 1
+    if time_only:
+        meshes = [mesh_fine]
+    elif mesh_fine.distort != 0.0:
         # coarse meshes inherit the fine mesh's distorted vertices (strided)
         meshes = [mesh_fine]
         while meshes[0].refinement > 0:
