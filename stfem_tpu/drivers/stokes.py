@@ -431,3 +431,152 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
     u, p = S.unpack(prev_flat)
     return dict(iterations=iters, u=np.asarray(u), p=np.asarray(p),
                 tau=tau, time=time)
+
+
+def run_navier_stokes_cycle(refinement: int, fe_degree: int,
+                            type_: TimeStepType = TimeStepType.DG,
+                            n_timesteps_at_once: int = 1,
+                            viscosity: float = 1.0, end_time: float = 1.0,
+                            n_picard: int = 3,
+                            preconditioner_factory=None,
+                            gmres_maxiter: int = 200,
+                            rel_tol: float = 1e-10) -> StokesCycleResult:
+    """Navier-Stokes convergence cycle: per slab, a Picard (Oseen) iteration
+    with the convective linearization in "form" mode; the manufactured
+    solution/RHS include the convection term (reference stokes::RHSFunction
+    with nonlinear factor, exact_solution.h:287-317).
+
+    The reference plumbs the nonlinear machinery without shipping a solver
+    loop (SURVEY.md section 3.3); this driver exercises it.
+    """
+    dim = 2
+    is_cgp = type_ == TimeStepType.CGP
+    u_degree = fe_degree + 1
+    p_degree = fe_degree
+    n_q = u_degree + 1
+    nt = fe_degree if is_cgp else fe_degree + 1
+    mesh = StructuredMesh([1, 1], [0.0, 0.0], [1.0, 1.0],
+                          refinement=refinement)
+    step_ = min(mesh.coarse_cell_diameter, end_time)
+    n_steps = int(end_time / step_)
+    tau = end_time * 2.0 ** (-(refinement + 1)) / n_steps
+    T = nt * n_timesteps_at_once
+
+    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity)
+    Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
+                             mask=S.mask_u_np)
+    a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
+                                     n_timesteps_at_once)
+    matrix = StokesSystemMatrix(S, Mu, a, b)
+    rhs_matrix = StokesSystemMatrix(S, Mu, a, b,
+                                    gamma=g if is_cgp else None,
+                                    zeta=z if is_cgp else g, type_=type_)
+
+    sd = shape_data_1d(u_degree, n_q)
+    Sf = jnp.asarray(sd.S)
+    geom = mesh.geometry(n_q, u_degree)
+    jxw = jnp.asarray(geom.jxw)
+    fcoords = jnp.asarray(quad_coordinates(mesh, n_q))
+
+    def force_u(t):
+        f = stokes_problem.rhs_u(fcoords, t, viscosity, navier=True)
+        comps = []
+        for c in range(dim):
+            y = _sumfac([Sf] * dim, f[..., c] * jxw, dim, forward=False)
+            comps.append(cell_scatter(y, mesh.cells, u_degree))
+        return jnp.stack(comps, axis=0) * S.mask_u
+
+    a1, b1, g1, z1 = get_fe_time_weights(type_, fe_degree, tau, 1)
+    tq_pts = get_time_quad(type_, fe_degree)[0]
+
+    def assemble_force(time):
+        zero_p = jnp.zeros((mesh.n_cells * S.n_ploc,))
+        parts = [None] * T
+        for it in range(n_timesteps_at_once):
+            for j, q in enumerate(tq_pts):
+                t = time + tau * it + tau * float(q)
+                F = force_u(t)
+                if type_ == TimeStepType.DG:
+                    tt, c = it * nt + j, a1[j, j]
+                    parts[tt] = F * c if parts[tt] is None \
+                        else parts[tt] + F * c
+                else:
+                    if j == 0:
+                        for i in range(nt):
+                            tt, c = it * nt + i, -g1[i, 0]
+                            parts[tt] = F * c if parts[tt] is None \
+                                else parts[tt] + F * c
+                    else:
+                        tt, c = it * nt + j - 1, a1[j - 1, j - 1]
+                        parts[tt] = F * c if parts[tt] is None \
+                            else parts[tt] + F * c
+        flat_u = jnp.stack([p_.reshape(-1) for p_ in parts])
+        return jnp.concatenate(
+            [flat_u, jnp.broadcast_to(zero_p, (T, zero_p.size))], axis=1)
+
+    precond = None
+    if preconditioner_factory is not None:
+        ctx = dict(mesh=mesh, fe_degree=fe_degree, u_degree=u_degree,
+                   p_degree=p_degree, type_=type_, viscosity=viscosity,
+                   n_timesteps_at_once=n_timesteps_at_once, time_step=tau,
+                   n_q=n_q, refinement=refinement, weak_faces=())
+        precond = preconditioner_factory(ctx)
+
+    @jax.jit
+    def solve_oseen(matrix_, rhs_matrix_, precond_, prev_flat, u_lin, time):
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
+        rhs = rhs + assemble_force(time)
+        x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
+        A = lambda v: matrix_.vmult(v, u_lin=u_lin, mode="form")
+        res = fgmres(A, rhs, x0, precondition=precond_,
+                     maxiter=gmres_maxiter, abstol=1e-12, reltol=rel_tol)
+        return res
+
+    err = StokesErrorCalculator(S, type_, fe_degree)
+    coords_u = jnp.asarray(mesh.dof_coordinates(u_degree))
+    u0 = jnp.moveaxis(stokes_problem.exact_u(coords_u, 0.0), -1, 0)
+    p0 = jnp.zeros(mesh.cells + (S.n_ploc,))
+    prev_flat = S.pack(u0, p0)
+    detj = float(np.prod(mesh.h))
+
+    time, l2, linf, h1, hdiv = 0.0, 0.0, -1.0, 0.0, 0.0
+    l2p, linfp, h1p = 0.0, -1.0, 0.0
+    total_iters, n_slabs = 0, 0
+    while time < end_time - 1e-12:
+        # Picard: convective state from the previous slab, then re-linearize
+        u_lin = jnp.broadcast_to(
+            prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u),
+            (T, dim) + S.dof_shape_u)
+        for _ in range(n_picard):
+            res: FGMRESResult = solve_oseen(matrix, rhs_matrix, precond,
+                                            prev_flat, u_lin,
+                                            jnp.asarray(time))
+            u_lin, _ = S.unpack(res.x)
+        assert bool(res.converged), (time, float(res.residual))
+        total_iters += int(res.iterations)
+        u_time, p_time = S.unpack(res.x)
+        means = jnp.sum(p_time[..., 0], axis=tuple(range(1, dim + 1))) \
+            * detj
+        p_time = p_time.at[..., 0].add(-means.reshape((T,) + (1,) * dim))
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        e = err.evaluate(time, tau, u_time, p_time, prev_u, prev_p,
+                         n_timesteps_at_once)
+        l2 += e["l2_u"]; h1 += e["h1_u"]; hdiv += e["hdiv_u"]
+        linf = max(linf, e["linf_u"])
+        l2p += e["l2_p"]; h1p += e["h1_p"]
+        linfp = max(linfp, e["linf_p"])
+        prev_flat = S.pack(u_time[-1], p_time[-1])
+        time += n_timesteps_at_once * tau
+        n_slabs += 1
+
+    return StokesCycleResult(
+        n_cells=mesh.n_cells, n_dofs_u=S.n_u, n_dofs_p=S.n_p,
+        n_blocks=2 * T, n_timesteps=n_slabs, total_iterations=total_iters,
+        avg_iterations=total_iters / n_slabs,
+        l2_l2_u=float(np.sqrt(l2)), linf_linf_u=float(linf),
+        l2_h1_u=float(np.sqrt(h1)), l2_hdiv_u=float(np.sqrt(hdiv)),
+        l2_l2_p=float(np.sqrt(l2p)), linf_linf_p=float(linfp),
+        l2_h1_p=float(np.sqrt(h1p)))

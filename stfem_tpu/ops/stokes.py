@@ -101,16 +101,26 @@ class StokesOperator:
         return pq.reshape(p.shape[:-1] + qshape)
 
     # -- apply --------------------------------------------------------------
-    def apply(self, u: jnp.ndarray, p: jnp.ndarray):
-        """(ru, rp); u: [..., dim, *dofgrid], p: [..., *cells, nploc]."""
+    def apply(self, u: jnp.ndarray, p: jnp.ndarray, mode: str = "none",
+              u_lin: jnp.ndarray | None = None):
+        """(ru, rp); u: [..., dim, *dofgrid], p: [..., *cells, nploc].
+
+        mode: "none" (linear Stokes), "jacobian" (Navier linearization:
+        gradient term -= u_lin (x) du + du (x) u_lin) or "form" (nonlinear
+        residual: -= du (x) u_lin with du = u); reference OperatorMode
+        dispatch, operators.h:1530-1567.
+        """
         dim, k = self.dim, self.u_degree
         S, D = self.S, self.D
         nu = self.viscosity
         u = u * self.mask_u
         p_q = self._p_at_quad(p)
+        navier = mode in ("jacobian", "form")
 
-        # per-component gather & physical gradients
+        # per-component gather & physical gradients (+ values when nonlinear)
         gphys = []  # gphys[c][e]
+        vq = [] if navier else None
+        vlinq = [] if navier else None
         for c in range(dim):
             uc = cell_gather(u[..., c, *([slice(None)] * dim)],
                              self.cells, k)
@@ -119,6 +129,12 @@ class StokesOperator:
                 mats = [D if d == e else S for d in range(dim)]
                 gc.append(_sumfac(mats, uc, dim) * self.jinv_diag[e])
             gphys.append(gc)
+            if navier:
+                vq.append(_sumfac([S] * dim, uc, dim))
+                ulc = cell_gather(
+                    (u_lin * self.mask_u)[..., c, *([slice(None)] * dim)],
+                    self.cells, k)
+                vlinq.append(_sumfac([S] * dim, ulc, dim))
 
         div_q = sum(gphys[c][c] for c in range(dim))
 
@@ -127,7 +143,7 @@ class StokesOperator:
                         (div_q * self.jxw).reshape(
                             div_q.shape[:-dim] + (-1,)))
 
-        # ru_c = sum_e int d_e v (nu d_e u_c - delta_ce p)
+        # ru_c = sum_e int d_e v (nu d_e u_c - delta_ce p [- convection_ce])
         ru_comps = []
         for c in range(dim):
             acc = None
@@ -135,6 +151,10 @@ class StokesOperator:
                 t = nu * gphys[c][e]
                 if e == c:
                     t = t - p_q
+                if mode == "jacobian":
+                    t = t - vlinq[c] * vq[e] - vq[c] * vlinq[e]
+                elif mode == "form":
+                    t = t - vq[c] * vlinq[e]
                 t = t * (self.jxw * self.jinv_diag[e])
                 mats = [D if d == e else S for d in range(dim)]
                 contrib = _sumfac(mats, t, dim, forward=False)

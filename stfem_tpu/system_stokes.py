@@ -48,11 +48,14 @@ class StokesSystemMatrix:
         self.T = self.a.shape[0]
         self.n_flat = stokes_op.n_u + stokes_op.n_p
 
-    def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [T, n_u + n_p]."""
+    def vmult(self, x: jnp.ndarray, u_lin: jnp.ndarray | None = None,
+              mode: str = "none") -> jnp.ndarray:
+        """x: [T, n_u + n_p].  For Navier-Stokes pass u_lin ([T, dim, *grid])
+        and mode "jacobian"/"form" (reference SystemMatrixStokes
+        set_linearization_data + OperatorMode, operators.h:471-500)."""
         S = self.S
         u, p = S.unpack(x)
-        ru, rp = S.apply(u, p)
+        ru, rp = S.apply(u, p, mode=mode, u_lin=u_lin)
         Mu = self.M.apply(u * 1.0)  # batched over [T, dim] leading axes
         dst_u = (jnp.einsum("ji,i...->j...", self.a, ru)
                  + jnp.einsum("ji,i...->j...", self.b, Mu))

@@ -98,3 +98,19 @@ def test_lid_driven_cavity():
     assert np.all(np.isfinite(u))
     # the moving wall drags fluid: tangential velocity near the wall nonzero
     assert np.max(np.abs(u[1])) > 1e-3
+
+
+def test_navier_stokes_picard():
+    """Convection-enabled (Oseen/Picard) solve reproduces the manufactured
+    Navier-Stokes solution at the Stokes convergence order."""
+    import numpy as np
+    from stfem_tpu.drivers.stokes import run_navier_stokes_cycle
+
+    r1 = run_navier_stokes_cycle(refinement=1, fe_degree=1,
+                                 preconditioner_factory=stokes_factory,
+                                 gmres_maxiter=60, n_picard=2)
+    r2 = run_navier_stokes_cycle(refinement=2, fe_degree=1,
+                                 preconditioner_factory=stokes_factory,
+                                 gmres_maxiter=60, n_picard=2)
+    assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 2.0
+    assert r2.avg_iterations <= 20
