@@ -1,0 +1,74 @@
+"""Explicit shard_map halo-exchange parity: the sharded space-time operator
+apply equals the single-device apply on an 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec
+from jax.experimental.shard_map import shard_map
+
+from stfem_tpu.mesh.grid import StructuredMesh
+from stfem_tpu.ops.spatial import LaplaceMassOperator
+from stfem_tpu.parallel.halo import (join_dof_grid, local_mask, local_submesh,
+                                     make_sharded_vmult, split_dof_grid)
+from stfem_tpu.system import SystemMatrix
+from stfem_tpu.time.tables import get_fe_time_weights
+from stfem_tpu.types import TimeStepType
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_sharded_vmult_parity(degree):
+    n_shards = 4
+    devices = jax.devices()[:n_shards]
+    mesh_dev = Mesh(np.array(devices), ("x",))
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=3)  # 8x8 cells
+    tau = 1.0 / 8
+    K = LaplaceMassOperator(mesh, degree, degree + 1, 0.0, 1.0)
+    M = LaplaceMassOperator(mesh, degree, degree + 1, 1.0, 0.0)
+    A, B, G, Z = get_fe_time_weights(TimeStepType.DG, 1, tau, 1)
+    mat = SystemMatrix(K, M, A, B)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((A.shape[0],) + mesh.dof_shape(degree))
+    y_ref = np.asarray(mat.vmult(jnp.asarray(x)))
+
+    # local operator (same on every shard for a uniform split)
+    sub = local_submesh(mesh, 0, n_shards)
+    masks = [local_mask(mesh, degree, s, n_shards) for s in range(n_shards)]
+    # shard-dependent masks: only the outermost shards eliminate x-boundary;
+    # all masks share the same y-boundary pattern, so stack them and slice by
+    # axis index inside the shard -- here all interior masks equal, so just
+    # verify they only differ at the ends and build per-shard operators via
+    # a shard-index-dependent mask passed as a sharded argument.
+    Kl = LaplaceMassOperator(sub, degree, degree + 1, 0.0, 1.0,
+                             mask=np.ones_like(masks[0]))
+    Ml = LaplaceMassOperator(sub, degree, degree + 1, 1.0, 0.0,
+                             mask=np.ones_like(masks[0]))
+    mat_l = SystemMatrix(Kl, Ml, A, B)
+    base_vmult = make_sharded_vmult(mat_l, mesh_dev)
+
+    def sharded_op(x_loc, m_loc):
+        # apply the shard's own Dirichlet mask around the unmasked local op
+        y = base_vmult(x_loc * m_loc)
+        return y * m_loc
+
+    spec = PartitionSpec(None, "x")
+    f = shard_map(sharded_op, mesh=mesh_dev,
+                  in_specs=(spec, spec), out_specs=spec,
+                  check_rep=False)
+
+    # build the sharded inputs: stack overlapping slabs along a new axis is
+    # not the jax sharding layout; instead concatenate the per-shard slabs
+    # (each local length L) into a global array of length n*L that shard_map
+    # splits evenly.
+    x_parts = split_dof_grid(x, n_shards, degree, axis=1)
+    m_parts = [m[None] for m in masks]
+    xs = np.concatenate(x_parts, axis=1)
+    ms = np.concatenate([m[None].repeat(A.shape[0], 0) for m in masks],
+                        axis=1)
+    y_sh = np.asarray(f(jnp.asarray(xs), jnp.asarray(ms)))
+    L = x_parts[0].shape[1]
+    y_parts = [y_sh[:, i * L:(i + 1) * L] for i in range(n_shards)]
+    y_join = join_dof_grid(y_parts, degree, axis=1)
+    np.testing.assert_allclose(y_join, y_ref, rtol=1e-10, atol=1e-10)
