@@ -45,7 +45,8 @@ class StructuredMesh:
     """
 
     def __init__(self, subdivisions, lower, upper, refinement: int = 0,
-                 distort: float = 0.0, distort_seed: int = 42):
+                 distort: float = 0.0, distort_seed: int = 42,
+                 cell_mask=None):
         self.dim = len(subdivisions)
         self.subdivisions = tuple(int(s) for s in subdivisions)
         self.lower = np.asarray(lower, dtype=np.float64)
@@ -55,6 +56,13 @@ class StructuredMesh:
         self.h = (self.upper - self.lower) / np.array(self.cells)
         self.distort = distort
         self._vertices = None
+        # cell_mask: 1.0 active / 0.0 removed cells (masked structured mesh,
+        # the dfgBenchmarkSquare representation -- reference grids.h:243-323
+        # builds exactly a subdivided rectangle with cells removed)
+        self.cell_mask = None if cell_mask is None \
+            else np.asarray(cell_mask, dtype=np.float64)
+        if self.cell_mask is not None:
+            assert self.cell_mask.shape == self.cells
         if distort != 0.0:
             self._vertices = self._distorted_vertices(distort, distort_seed)
 
@@ -134,6 +142,11 @@ class StructuredMesh:
 
         if self._vertices is None:
             detj = float(np.prod(self.h))
+            if self.cell_mask is not None:
+                jxw = (self.cell_mask.reshape(self.cells + (1,) * self.dim)
+                       * (w_tensor * detj))
+                return Geometry(cartesian=False, jxw=jxw,
+                                jinv_diag=1.0 / self.h)
             return Geometry(cartesian=True, jxw=w_tensor * detj,
                             jinv_diag=1.0 / self.h)
 
@@ -179,7 +192,9 @@ class StructuredMesh:
 
     def boundary_dof_mask(self, degree: int) -> np.ndarray:
         """1.0 for interior (free) dofs, 0.0 on the domain boundary
-        (homogeneous Dirichlet elimination mask)."""
+        (homogeneous Dirichlet elimination mask).  With a cell_mask, every
+        dof touching a removed cell is also eliminated (obstacle no-slip /
+        exterior dofs)."""
         mask = np.ones(self.dof_shape(degree))
         for d in range(self.dim):
             idx = [slice(None)] * self.dim
@@ -187,6 +202,13 @@ class StructuredMesh:
             mask[tuple(idx)] = 0.0
             idx[d] = -1
             mask[tuple(idx)] = 0.0
+        if self.cell_mask is not None:
+            k = degree
+            inactive = self.cell_mask == 0.0
+            for cidx in np.argwhere(inactive):
+                sl = tuple(slice(int(c) * k, int(c) * k + k + 1)
+                           for c in cidx)
+                mask[sl] = 0.0
         return mask
 
     def dof_coordinates(self, degree: int) -> np.ndarray:

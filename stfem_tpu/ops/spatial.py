@@ -125,7 +125,9 @@ class LaplaceMassOperator:
         geom: Geometry = mesh.geometry(n_q, degree)
         self.geom = geom
         self.jxw = jnp.asarray(geom.jxw, dtype)
-        if geom.cartesian:
+        # axis-aligned (possibly cell-masked) meshes use the diagonal-J path;
+        # only truly distorted meshes need the full per-cell Jacobians
+        if geom.jinv_diag is not None:
             self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
             self.jinv = None
         else:
@@ -148,7 +150,7 @@ class LaplaceMassOperator:
     def _evaluate_coefficient(self, coefficient_fun) -> np.ndarray:
         qshape = (self.n_q,) * self.dim
         qx = self._sd.quad_x
-        if self.geom.cartesian:
+        if self.geom.points is None:
             # quad point coordinates per cell
             axes = [self.mesh.lower[d]
                     + self.mesh.h[d] * (np.arange(self.cells[d])[:, None]
@@ -247,10 +249,7 @@ class LaplaceMassOperator:
         w = self.jxw if self.coeff is None else self.jxw * self.coeff
         cM, cK = self.mass_scaling, self.laplace_scaling
 
-        if self.geom.cartesian:
-            wq = jnp.broadcast_to(w, self.cells + (self.n_q,) * dim)
-        else:
-            wq = w
+        wq = jnp.broadcast_to(w, self.cells + (self.n_q,) * dim)
         wq = wq.reshape(C, Q)
 
         E = jnp.zeros((C, (k + 1) ** dim, (k + 1) ** dim), self.dtype)

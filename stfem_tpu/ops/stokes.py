@@ -52,7 +52,7 @@ class StokesOperator:
         self.D = jnp.asarray(sd.D, dtype)
         self._sd = sd
         geom = mesh.geometry(n_q, u_degree)
-        assert geom.cartesian, "Stokes on distorted meshes: TODO"
+        assert geom.jinv_diag is not None, "Stokes on distorted meshes: TODO"
         self.jxw = jnp.asarray(geom.jxw, dtype)
         self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
         self.weak_faces = tuple(weak_faces)

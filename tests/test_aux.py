@@ -56,3 +56,46 @@ def test_timer_output():
         pass
     assert t.counts["vmult"] == 2
     assert "vmult" in t.summary()
+
+
+def test_masked_cell_domain_heat():
+    """Masked structured mesh (cells removed -- the dfgBenchmarkSquare
+    representation, reference grids.h:243-323): heat on a square with a
+    hole; dofs touching removed cells are eliminated, time-only STMG."""
+    import numpy as np
+    from stfem_tpu.mesh.grid import StructuredMesh
+
+    cells = (8, 8)
+    cm = np.ones(cells)
+    cm[3:5, 3:5] = 0.0  # the hole
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=3, cell_mask=cm)
+    assert mesh.boundary_dof_mask(2)[7, 7] == 0.0  # hole dof eliminated
+
+    def bump(coords):
+        d2 = np.sum((coords - np.array([0.2, 0.8])) ** 2, axis=-1)
+        r2 = 0.15 ** 2
+        with np.errstate(divide="ignore", over="ignore"):
+            v = np.where(d2 < r2, np.exp(1.0 - 1.0 / (1.0 - d2 / r2)), 0.0)
+        return np.nan_to_num(v)
+
+    # build by hand (run_heat_cycle has no cell_mask plumbing): one slab
+    import jax.numpy as jnp
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.time.tables import get_fe_time_weights
+    K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0)
+    M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0)
+    A, B, G, Z = get_fe_time_weights(TimeStepType.DG, 1, 1 / 16, 2)
+    mat = SystemMatrix(K, M, A, B)
+    rhs_m = SystemMatrix(K, M, np.zeros_like(G), G)
+    u0 = jnp.asarray(bump(np.asarray(mesh.dof_coordinates(2)))) * K.mask
+    rhs = rhs_m.vmult(u0[None])
+    res = fgmres(mat.vmult, rhs, jnp.zeros_like(rhs), maxiter=600,
+                 abstol=1e-12, reltol=1e-10)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.all(np.isfinite(x))
+    # solution stays zero inside the hole, decays the bump elsewhere
+    assert abs(x[-1][7, 7]) == 0.0
+    assert 0 < np.max(np.abs(x[-1])) < np.max(np.abs(np.asarray(u0)))
