@@ -580,3 +580,125 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
         l2_h1_u=float(np.sqrt(h1)), l2_hdiv_u=float(np.sqrt(hdiv)),
         l2_l2_p=float(np.sqrt(l2p)), linf_linf_p=float(linfp),
         l2_h1_p=float(np.sqrt(h1p)))
+
+
+def dfg_square_mesh(refinement: int = 1):
+    """The dfgBenchmarkSquare channel (2D): non-uniform tensor subdivision of
+    [0,2.2]x[0,0.41] with the cell around (0.2, 0.2) removed (reference
+    grids.h:243-280)."""
+    x_steps = [0.15, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.35, 0.35]
+    y_steps = [0.15, 0.1, 0.16]
+    base_mask = np.ones((len(x_steps), len(y_steps)))
+    base_mask[1, 1] = 0.0  # the [0.15,0.25]^2 obstacle cell
+    r = 2 ** refinement
+    cm = np.repeat(np.repeat(base_mask, r, axis=0), r, axis=1)
+    return StructuredMesh([1, 1], [0.0, 0.0], [2.2, 0.41],
+                          refinement=refinement, cell_mask=cm,
+                          axis_steps=[x_steps, y_steps])
+
+
+def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
+                   type_: TimeStepType = TimeStepType.DG,
+                   viscosity: float = 1e-3, u_mean: float = 0.2,
+                   dfg_benchmark: int = 3, end_time: float = 8.0,
+                   tau: float = 1.0 / 16.0, n_slabs: int = 4,
+                   preconditioner_factory=None, gmres_maxiter: int = 100,
+                   rel_tol: float = 1e-8):
+    """Flow around the square obstacle (DFG 2D benchmark on the
+    dfgBenchmarkSquare grid, reference tests/tp_03stokes.cc + stokes_dfg.json):
+    weak (Nitsche) inflow with the DFG parabolic profile, weak no-slip walls,
+    do-nothing outflow, strong no-slip obstacle via the cell mask.
+
+    Returns per-slab iterations and final fields.  Deviation from the
+    reference: the obstacle no-slip is imposed strongly (mask) rather than
+    by Nitsche on the interior obstacle faces.
+    """
+    dim = 2
+    is_cgp = type_ == TimeStepType.CGP
+    u_degree = fe_degree + 1
+    p_degree = fe_degree
+    n_q = u_degree + 1
+    nt = fe_degree if is_cgp else fe_degree + 1
+    mesh = dfg_square_mesh(refinement)
+    T = nt
+    u_max = u_mean * 1.5   # 2D (reference stokes.h:41)
+
+    weak_faces = ((0, 0), (1, 0), (1, 1))   # inflow + both walls
+    free_faces = ((0, 1),)                   # do-nothing outflow
+    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
+                       weak_faces=weak_faces, free_faces=free_faces)
+    Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
+                             mask=S.mask_u_np)
+    a, b, g, z = get_fe_time_weights(type_, fe_degree, tau, 1)
+    matrix = StokesSystemMatrix(S, Mu, a, b)
+    rhs_matrix = StokesSystemMatrix(S, Mu, a, b,
+                                    gamma=g if is_cgp else None,
+                                    zeta=z if is_cgp else g, type_=type_)
+
+    def g_inflow(coords, t):
+        y = coords[..., 1]
+        x = coords[..., 0]
+        if dfg_benchmark == 3:
+            factor = jnp.sin(np.pi * t / 8.0)
+        else:
+            factor = jnp.where(t < 0.1,
+                               0.5 - 0.5 * jnp.cos(10.0 * np.pi * t), 1.0)
+        prof = 4.0 * u_max * y * (0.41 - y) / 0.41 ** 2
+        gx = jnp.where(x < 1e-8, prof * factor, 0.0)
+        return jnp.stack([gx, jnp.zeros_like(gx)], axis=-1)
+
+    tq_pts = get_time_quad(type_, fe_degree)[0]
+    a1 = a
+
+    def assemble_nitsche_rhs(time):
+        parts_u = [None] * T
+        parts_p = [None] * T
+        for j, q in enumerate(tq_pts):
+            t = time + tau * float(q)
+            ru, rp = S.nitsche_rhs(g_inflow, t)
+            if type_ == TimeStepType.DG:
+                coef = [(j, a1[j, j])]
+            else:
+                coef = ([(i, -g[i, 0]) for i in range(nt)] if j == 0
+                        else [(j - 1, a1[j - 1, j - 1])])
+            for tt, c in coef:
+                pu, pp = ru * c, rp * c
+                parts_u[tt] = pu if parts_u[tt] is None else parts_u[tt] + pu
+                parts_p[tt] = pp if parts_p[tt] is None else parts_p[tt] + pp
+        return jnp.stack([jnp.concatenate([parts_u[tt].reshape(-1),
+                                           parts_p[tt].reshape(-1)])
+                          for tt in range(T)])
+
+    precond = None
+    if preconditioner_factory is not None:
+        ctx = dict(mesh=mesh, fe_degree=fe_degree, u_degree=u_degree,
+                   p_degree=p_degree, type_=type_, viscosity=viscosity,
+                   n_timesteps_at_once=1, time_step=tau, n_q=n_q,
+                   refinement=refinement, weak_faces=weak_faces,
+                   free_faces=free_faces)
+        precond = preconditioner_factory(ctx)
+
+    @jax.jit
+    def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
+        rhs = rhs + assemble_nitsche_rhs(time)
+        x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
+        res = fgmres(matrix_.vmult, rhs, x0, precondition=precond_,
+                     maxiter=gmres_maxiter, abstol=1e-12, reltol=rel_tol)
+        return res
+
+    prev_flat = jnp.zeros(S.n_u + S.n_p)
+    time, iters = 0.0, []
+    for s in range(n_slabs):
+        res = solve_slab(matrix, rhs_matrix, precond, prev_flat,
+                         jnp.asarray(time))
+        assert bool(res.converged), (time, float(res.residual))
+        iters.append(int(res.iterations))
+        u_time, p_time = S.unpack(res.x)
+        prev_flat = S.pack(u_time[-1], p_time[-1])
+        time += tau
+    u, p = S.unpack(prev_flat)
+    return dict(iterations=iters, u=np.asarray(u), p=np.asarray(p),
+                mesh=mesh, time=time)

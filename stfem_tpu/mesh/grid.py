@@ -35,6 +35,9 @@ class Geometry:
     jinv_diag: np.ndarray | None = None
     jinv: np.ndarray | None = None
     points: np.ndarray | None = None  # physical quad coords (general path)
+    # per-axis inverse cell widths for non-uniform tensor grids:
+    # jinv_axis[d] has shape cells[d] (diagonal Jacobian varying per cell)
+    jinv_axis: tuple | None = None
 
 
 class StructuredMesh:
@@ -46,7 +49,15 @@ class StructuredMesh:
 
     def __init__(self, subdivisions, lower, upper, refinement: int = 0,
                  distort: float = 0.0, distort_seed: int = 42,
-                 cell_mask=None):
+                 cell_mask=None, axis_steps=None):
+        """axis_steps: optional per-axis lists of step widths (non-uniform
+        tensor grid, e.g. the dfgBenchmarkSquare channel subdivision,
+        reference grids.h:246-254); refinement splits each step into 2^r
+        equal parts.  subdivisions/lower/upper are derived when given."""
+        if axis_steps is not None:
+            subdivisions = [len(st) for st in axis_steps]
+            upper = [float(lo + np.sum(st))
+                     for lo, st in zip(lower, axis_steps)]
         self.dim = len(subdivisions)
         self.subdivisions = tuple(int(s) for s in subdivisions)
         self.lower = np.asarray(lower, dtype=np.float64)
@@ -54,6 +65,12 @@ class StructuredMesh:
         self.refinement = refinement
         self.cells = tuple(s * 2 ** refinement for s in self.subdivisions)
         self.h = (self.upper - self.lower) / np.array(self.cells)
+        self.axis_steps = None
+        if axis_steps is not None:
+            self.axis_steps = tuple(
+                np.repeat(np.asarray(st, dtype=np.float64) / 2 ** refinement,
+                          2 ** refinement)
+                for st in axis_steps)
         self.distort = distort
         self._vertices = None
         # cell_mask: 1.0 active / 0.0 removed cells (masked structured mesh,
@@ -96,12 +113,19 @@ class StructuredMesh:
         """Continuous Q_degree dof grid (lexicographic per axis)."""
         return tuple(c * degree + 1 for c in self.cells)
 
+    def axis_vertices(self, d: int) -> np.ndarray:
+        """1D vertex positions along axis d."""
+        if self.axis_steps is not None:
+            return np.concatenate(
+                [[self.lower[d]],
+                 self.lower[d] + np.cumsum(self.axis_steps[d])])
+        return self.lower[d] + self.h[d] * np.arange(self.cells[d] + 1)
+
     def vertex_grid(self) -> np.ndarray:
         """Vertex coordinates, shape (*[c+1], dim)."""
         if self._vertices is not None:
             return self._vertices
-        axes = [self.lower[d] + self.h[d] * np.arange(self.cells[d] + 1)
-                for d in range(self.dim)]
+        axes = [self.axis_vertices(d) for d in range(self.dim)]
         mesh = np.meshgrid(*axes, indexing="ij")
         return np.stack(mesh, axis=-1)
 
@@ -140,6 +164,19 @@ class StructuredMesh:
             shape[d] = n_q_per_axis
             w_tensor = w_tensor * qw.reshape(shape)
 
+        if self._vertices is None and self.axis_steps is not None:
+            # non-uniform tensor grid: separable per-cell diagonal Jacobian
+            detj = np.ones(self.cells)
+            for d in range(self.dim):
+                shape = [1] * self.dim
+                shape[d] = self.cells[d]
+                detj = detj * self.axis_steps[d].reshape(shape)
+            if self.cell_mask is not None:
+                detj = detj * self.cell_mask
+            jxw = detj.reshape(self.cells + (1,) * self.dim) * w_tensor
+            return Geometry(cartesian=False, jxw=jxw,
+                            jinv_axis=tuple(1.0 / st
+                                            for st in self.axis_steps))
         if self._vertices is None:
             detj = float(np.prod(self.h))
             if self.cell_mask is not None:
@@ -222,9 +259,9 @@ class StructuredMesh:
             axes = []
             nodes = np.array(q_nodes_1d(degree))
             for d in range(self.dim):
-                pos = (self.lower[d]
-                       + self.h[d] * (np.arange(self.cells[d])[:, None]
-                                      + nodes[None, :]))
+                v = self.axis_vertices(d)
+                widths = np.diff(v)
+                pos = v[:-1, None] + widths[:, None] * nodes[None, :]
                 axes.append(np.concatenate([pos[:, :-1].reshape(-1),
                                             [self.upper[d]]]))
             mesh = np.meshgrid(*axes, indexing="ij")

@@ -125,14 +125,26 @@ class LaplaceMassOperator:
         geom: Geometry = mesh.geometry(n_q, degree)
         self.geom = geom
         self.jxw = jnp.asarray(geom.jxw, dtype)
-        # axis-aligned (possibly cell-masked) meshes use the diagonal-J path;
-        # only truly distorted meshes need the full per-cell Jacobians
+        # axis-aligned (possibly cell-masked / non-uniform tensor) meshes use
+        # the diagonal-J path with per-axis factors jfac[e] broadcastable
+        # against [*cells, *q]; only truly distorted meshes need full
+        # per-cell Jacobians
+        self.jinv = None
+        self.jinv_diag = None
+        self.jfac = None
         if geom.jinv_diag is not None:
             self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
-            self.jinv = None
+            self.jfac = [self.jinv_diag[e] for e in range(self.dim)]
+        elif geom.jinv_axis is not None:
+            jfac = []
+            for e in range(self.dim):
+                shape = [1] * (2 * self.dim)
+                shape[e] = self.cells[e]
+                jfac.append(jnp.asarray(geom.jinv_axis[e], dtype
+                                        ).reshape(shape))
+            self.jfac = jfac
         else:
             self.jinv = jnp.asarray(geom.jinv, dtype)
-            self.jinv_diag = None
 
         if mask is None:
             mask = mesh.boundary_dof_mask(degree)
@@ -191,10 +203,10 @@ class LaplaceMassOperator:
             for e in range(dim):
                 mats = [D if d == e else S for d in range(dim)]
                 ghat.append(_sumfac(mats, u, dim))
-            if self.jinv_diag is not None:
-                # Cartesian: J^{-1} diagonal, directions decouple
+            if self.jfac is not None:
+                # axis-aligned: J^{-1} diagonal, directions decouple
                 for e in range(dim):
-                    t = ghat[e] * (cK * w * self.jinv_diag[e] ** 2)
+                    t = ghat[e] * (cK * w) * self.jfac[e] ** 2
                     mats = [D if d == e else S for d in range(dim)]
                     contrib = _sumfac(mats, t, dim, forward=False)
                     acc = contrib if acc is None else acc + contrib
@@ -256,11 +268,13 @@ class LaplaceMassOperator:
         if cM != 0.0:
             E = E + cM * jnp.einsum("cq,aq,bq->cab", wq, Phi, Phi)
         if cK != 0.0:
-            if self.jinv_diag is not None:
+            if self.jfac is not None:
                 for e in range(dim):
-                    s = self.jinv_diag[e] ** 2
-                    E = E + (cK * s) * jnp.einsum("cq,aq,bq->cab", wq,
-                                                  Grad[e], Grad[e])
+                    sfac = jnp.broadcast_to(
+                        self.jfac[e] ** 2,
+                        self.cells + (1,) * dim).reshape(C, 1)
+                    E = E + cK * jnp.einsum("cq,aq,bq->cab", wq * sfac,
+                                            Grad[e], Grad[e])
             else:
                 ji = self.jinv.reshape(C, Q, dim, dim)
                 gphys = jnp.einsum("cqed,eaq->cdaq", ji, Grad)

@@ -29,11 +29,12 @@ from .spatial import LaplaceMassOperator, _sumfac, cell_gather, cell_scatter
 class StokesOperator:
     def __init__(self, mesh: StructuredMesh, u_degree: int, p_degree: int,
                  n_q: int, viscosity: float = 1.0, dtype=jnp.float64,
-                 dg_pressure: bool = True, weak_faces=(),
+                 dg_pressure: bool = True, weak_faces=(), free_faces=(),
                  penalty1: float = 20.0, penalty2: float = 10.0):
         """weak_faces: iterable of (axis, side) boundary faces with Nitsche
         weak Dirichlet conditions (reference operators.h:1658-1751); those
-        faces are NOT eliminated from the velocity mask.  penalties gamma1 =
+        faces are NOT eliminated from the velocity mask.  free_faces: faces
+        with no constraint at all (do-nothing outflow).  penalties gamma1 =
         nu*penalty1, gamma2 = penalty2 (reference ctor defaults 20/10)."""
         assert dg_pressure, "FE_Q pressure: not yet implemented"
         self.mesh = mesh
@@ -52,21 +53,43 @@ class StokesOperator:
         self.D = jnp.asarray(sd.D, dtype)
         self._sd = sd
         geom = mesh.geometry(n_q, u_degree)
-        assert geom.jinv_diag is not None, "Stokes on distorted meshes: TODO"
+        assert geom.jinv is None, "Stokes on distorted meshes: TODO"
         self.jxw = jnp.asarray(geom.jxw, dtype)
-        self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
+        if geom.jinv_diag is not None:
+            self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
+            self.jfac = [self.jinv_diag[e] for e in range(self.dim)]
+        else:
+            self.jinv_diag = None
+            jfac = []
+            for e in range(self.dim):
+                shape = [1] * (2 * self.dim)
+                shape[e] = mesh.cells[e]
+                jfac.append(jnp.asarray(geom.jinv_axis[e], dtype
+                                        ).reshape(shape))
+            self.jfac = jfac
         self.weak_faces = tuple(weak_faces)
+        self.free_faces = tuple(free_faces)
         self.gamma1 = viscosity * float(penalty1)
         self.gamma2 = float(penalty2)
+        unconstrained = self.weak_faces + self.free_faces
         mask = mesh.boundary_dof_mask(u_degree)
-        for (d0, side) in self.weak_faces:
+        for (d0, side) in unconstrained:
             idx = [slice(None)] * self.dim
             idx[d0] = 0 if side == 0 else -1
-            mask[tuple(idx)] = 1.0
-        # corners shared with strong faces stay eliminated
+            sub = mask[tuple(idx)]
+            mask[tuple(idx)] = np.maximum(sub, 1.0) if mesh.cell_mask is None \
+                else 1.0 * (np.ones_like(sub))
+        # re-eliminate obstacle dofs (removed-cell adjacency) and corners
+        # shared with strong faces
+        if mesh.cell_mask is not None:
+            k = u_degree
+            for cidx in np.argwhere(mesh.cell_mask == 0.0):
+                sl = tuple(slice(int(c) * k, int(c) * k + k + 1)
+                           for c in cidx)
+                mask[sl] = 0.0
         for d in range(self.dim):
             for sd in (0, -1):
-                if (d, 0 if sd == 0 else 1) in self.weak_faces:
+                if (d, 0 if sd == 0 else 1) in unconstrained:
                     continue
                 idx = [slice(None)] * self.dim
                 idx[d] = sd
@@ -127,7 +150,7 @@ class StokesOperator:
             gc = []
             for e in range(dim):
                 mats = [D if d == e else S for d in range(dim)]
-                gc.append(_sumfac(mats, uc, dim) * self.jinv_diag[e])
+                gc.append(_sumfac(mats, uc, dim) * self.jfac[e])
             gphys.append(gc)
             if navier:
                 vq.append(_sumfac([S] * dim, uc, dim))
@@ -155,7 +178,7 @@ class StokesOperator:
                     t = t - vlinq[c] * vq[e] - vq[c] * vlinq[e]
                 elif mode == "form":
                     t = t - vq[c] * vlinq[e]
-                t = t * (self.jxw * self.jinv_diag[e])
+                t = t * (self.jxw * self.jfac[e])
                 mats = [D if d == e else S for d in range(dim)]
                 contrib = _sumfac(mats, t, dim, forward=False)
                 acc = contrib if acc is None else acc + contrib
@@ -191,8 +214,10 @@ class StokesOperator:
         Pq = self.Pq.reshape(self.n_ploc, Q)
         parts = []
         for c in range(dim):
-            G = jnp.asarray(Grad[c], self.dtype) * self.jinv_diag[c]
-            blk = -jnp.einsum("cq,aq,mq->cam", wq, G, Pq)
+            Gc = jnp.asarray(Grad[c], self.dtype)
+            jf = jnp.broadcast_to(self.jfac[c],
+                                  self.cells + (1,) * dim).reshape(C, 1)
+            blk = -jnp.einsum("cq,aq,mq->cam", wq * jf, Gc, Pq)
             parts.append(blk)
         E_up = jnp.concatenate(parts, axis=1)
         mloc = cell_gather(self.mask_u, self.cells, k).reshape(C, A)
@@ -217,13 +242,29 @@ class StokesOperator:
         D1edge = basis.deriv_matrix(np.array([edge_x]))[0]   # (k+1,)
         oth = [d for d in range(dim) if d != d0]
         qx, qw = gauss(self.n_q)
-        jxw = np.ones((self.n_q,) * (dim - 1))
+
+        def steps(d):
+            if getattr(mesh, "axis_steps", None) is not None:
+                return np.asarray(mesh.axis_steps[d])
+            return np.full(mesh.cells[d], mesh.h[d])
+
+        # per-(cell, quad) face weights and per-cell face size: shape
+        # [*cells_oth, *q_oth] and [*cells_oth, 1...] (broadcastable)
+        jxw = np.ones(tuple(mesh.cells[d] for d in oth)
+                      + (self.n_q,) * (dim - 1))
+        hf = np.ones(tuple(mesh.cells[d] for d in oth))
         for i, d in enumerate(oth):
-            shape = [1] * (dim - 1)
-            shape[i] = self.n_q
-            jxw = jxw * (qw * mesh.h[d]).reshape(shape)
-        hf = float(np.prod([mesh.h[d] for d in oth])) ** (
-            1.0 / max(dim - 1, 1))
+            cshape = [1] * (2 * (dim - 1))
+            cshape[i] = mesh.cells[d]
+            qshape = [1] * (2 * (dim - 1))
+            qshape[(dim - 1) + i] = self.n_q
+            jxw = jxw * steps(d).reshape(cshape) * qw.reshape(qshape)
+            hshape = [1] * (dim - 1)
+            hshape[i] = mesh.cells[d]
+            hf = hf * steps(d).reshape(hshape)
+        hf = hf ** (1.0 / max(dim - 1, 1))
+        hf = hf.reshape(hf.shape + (1,) * (dim - 1))
+        h0 = float(steps(d0)[0 if side == 0 else -1])
         exps = dgp_exponents(dim, self.p_degree)
         Pqf = np.ones((len(exps),) + (self.n_q,) * (dim - 1))
         for m, e in enumerate(exps):
@@ -238,15 +279,17 @@ class StokesOperator:
         coords = np.zeros(cells_oth + (self.n_q,) * (dim - 1) + (dim,))
         coords[..., d0] = mesh.lower[d0] if side == 0 else mesh.upper[d0]
         for i, d in enumerate(oth):
-            pos = (mesh.lower[d]
-                   + mesh.h[d] * (np.arange(mesh.cells[d])[:, None]
-                                  + qx[None, :]))
+            v = mesh.axis_vertices(d) if hasattr(mesh, "axis_vertices") \
+                else mesh.lower[d] + mesh.h[d] * np.arange(mesh.cells[d] + 1)
+            widths = np.diff(v)
+            pos = v[:-1, None] + widths[:, None] * qx[None, :]
             shape = [1] * (2 * (dim - 1))
             shape[i] = mesh.cells[d]
             shape[(dim - 1) + i] = self.n_q
             coords[..., d] = pos.reshape(shape)
         return dict(D1edge=jnp.asarray(D1edge, self.dtype), oth=oth,
-                    jxw=jnp.asarray(jxw, self.dtype), hf=hf,
+                    jxw=jnp.asarray(jxw, self.dtype),
+                    hf=jnp.asarray(hf, self.dtype), h0=h0,
                     Pqf=jnp.asarray(Pqf, self.dtype),
                     coords=jnp.asarray(coords, self.dtype))
 
@@ -293,7 +336,7 @@ class StokesOperator:
                 # normal derivative from the boundary-cell layer only
                 ul = uc[(..., *layer_sl)]
                 dn = jnp.tensordot(D1e, jnp.moveaxis(ul, L + d0, 0),
-                                   axes=(0, 0)) * (n_sign / self.mesh.h[d0])
+                                   axes=(0, 0)) * (n_sign / fd["h0"])
                 dnq.append(self._trace_eval(dn, oth))
             p_b = p[(..., *cell_sl, slice(None))]
             pq = jnp.einsum("...m,mQ->...Q", p_b,
@@ -313,7 +356,7 @@ class StokesOperator:
                 ru = ru.at[(..., c, *grid_sl)].add(y1)
                 # adjoint consistency: -nu u against the normal derivative
                 y2 = self._trace_integrate((-nu * uq[c]) * jxwf, oth)
-                prof = D1e * (n_sign / self.mesh.h[d0])
+                prof = D1e * (n_sign / fd["h0"])
                 pshape = [1] * (y2.ndim + 1)
                 pshape[y2.ndim - (dim - 1) + d0] = k + 1
                 arr = jnp.expand_dims(y2, y2.ndim - (dim - 1) + d0)
@@ -354,7 +397,7 @@ class StokesOperator:
                 y1 = self._trace_integrate(T1 * jxwf, oth)
                 rhs_u = rhs_u.at[(c, *grid_sl)].add(y1)
                 y2 = self._trace_integrate((-nu * g[..., c]) * jxwf, oth)
-                prof = D1e * (n_sign / self.mesh.h[d0])
+                prof = D1e * (n_sign / fd["h0"])
                 pshape = [1] * (y2.ndim + 1)
                 pshape[y2.ndim - (dim - 1) + d0] = k + 1
                 arr = jnp.expand_dims(y2, y2.ndim - (dim - 1) + d0)
@@ -369,11 +412,11 @@ class StokesOperator:
 
     def face_element_matrices(self):
         """Per weak face: (d0, side, Fuu[c] list, Fup, Fpu) -- the Nitsche
-        contributions to the boundary-layer cells' element matrices (identical
-        for every cell on the layer, Cartesian geometry).  Fuu[c]: (A, A) for
-        component c; Fup: (dim*A, nploc) component-major rows; Fpu transposed
-        with the p-row sign (reference compute_matrix_helper incl. faces,
-        operators.h:1472-1494)."""
+        contributions to the boundary-layer cells' element matrices, PER
+        LAYER CELL (supports non-uniform tensor meshes).  Fuu[c]:
+        (C_layer, A, A); Fup: (C_layer, dim*A, nploc) component-major rows;
+        Fpu transposed with the p-row sign (reference compute_matrix_helper
+        incl. faces, operators.h:1472-1494)."""
         from ..mesh.fe import shape_data_1d
         dim, k = self.dim, self.u_degree
         nu = self.viscosity
@@ -383,15 +426,15 @@ class StokesOperator:
         for (d0, side) in self.weak_faces:
             fd = self._face_setup(d0, side)
             oth = fd["oth"]
-            jxwf = np.asarray(fd["jxw"]).reshape(-1)
-            hf = fd["hf"]
-            n_sign = -1.0 if side == 0 else 1.0
             Qf = self.n_q ** (dim - 1)
-            # local multi-indices
+            C_layer = int(np.prod([self.cells[d] for d in oth]))
+            jxwf = np.asarray(fd["jxw"]).reshape(C_layer, Qf)
+            hf = np.asarray(fd["hf"]).reshape(C_layer, 1)
+            n_sign = -1.0 if side == 0 else 1.0
             locs = np.stack(np.meshgrid(*([np.arange(k + 1)] * dim),
                                         indexing="ij"), -1).reshape(A, dim)
             edge_loc = 0 if side == 0 else k
-            S1 = np.asarray(sd.S)                     # (q, a)
+            S1 = np.asarray(sd.S)
             D1e = np.asarray(fd["D1edge"])
             tr = np.ones((A, Qf))
             Dn = np.ones((A, Qf))
@@ -400,7 +443,7 @@ class StokesOperator:
                                                                      dim - 1)
             for a in range(A):
                 t_a = 1.0 if locs[a, d0] == edge_loc else 0.0
-                d_a = D1e[locs[a, d0]] * n_sign / self.mesh.h[d0]
+                d_a = D1e[locs[a, d0]] * n_sign / fd["h0"]
                 prof_t = np.full(Qf, t_a)
                 prof_d = np.full(Qf, d_a)
                 for i, d in enumerate(oth):
@@ -413,15 +456,16 @@ class StokesOperator:
             Fuu = []
             for c in range(dim):
                 g = self.gamma1 / hf + (self.gamma2 / hf if c == d0 else 0.0)
-                M = (g * np.einsum("q,aq,bq->ab", jxwf, tr, tr)
-                     - nu * np.einsum("q,aq,bq->ab", jxwf, tr, Dn)
-                     - nu * np.einsum("q,aq,bq->ab", jxwf, Dn, tr))
-                Fuu.append(M)
-            Fup = np.zeros((dim * A, self.n_ploc))
-            Fpu = np.zeros((self.n_ploc, dim * A))
-            blk = np.einsum("q,aq,mq->am", jxwf, tr, Pqf) * n_sign
-            Fup[d0 * A:(d0 + 1) * A, :] = blk          # + p n . v
-            Fpu[:, d0 * A:(d0 + 1) * A] = -blk.T       # - q u . n
+                pen = np.einsum("cq,aq,bq->cab", jxwf, tr, tr) * g[:, :,
+                                                                   None]
+                con = (np.einsum("cq,aq,bq->cab", jxwf, tr, Dn)
+                       + np.einsum("cq,aq,bq->cab", jxwf, Dn, tr))
+                Fuu.append(pen - nu * con)
+            Fup = np.zeros((C_layer, dim * A, self.n_ploc))
+            Fpu = np.zeros((C_layer, self.n_ploc, dim * A))
+            blk = np.einsum("cq,aq,mq->cam", jxwf, tr, Pqf) * n_sign
+            Fup[:, d0 * A:(d0 + 1) * A, :] = blk          # + p n . v
+            Fpu[:, :, d0 * A:(d0 + 1) * A] = -np.transpose(blk, (0, 2, 1))
             out.append((d0, side, [jnp.asarray(m, self.dtype) for m in Fuu],
                         jnp.asarray(Fup, self.dtype),
                         jnp.asarray(Fpu, self.dtype)))

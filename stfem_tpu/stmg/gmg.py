@@ -331,7 +331,7 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                       fe_degree_min: int | None = None,
                       n_timesteps_at_once_min: int | None = None,
                       poly_coarsening=PolynomialCoarseningSequenceType.bisect,
-                      weak_faces=()) -> GMG:
+                      weak_faces=(), free_faces=()) -> GMG:
     """STMG hierarchy for the Stokes slab system on the flat [T, n_u+n_p]
     layout (reference tests/tp_03stokes.cc level setup): velocity Q_{k+1}
     with pressure DGP(k) per level, block Vanka with velocity-only mass mask.
@@ -353,9 +353,20 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
 
     u_degree = fe_degree + 1
     n_sp_lvl = mesh_fine.refinement + 1
-    meshes = [StructuredMesh(mesh_fine.subdivisions, mesh_fine.lower,
-                             mesh_fine.upper, refinement=r)
-              for r in range(n_sp_lvl)]
+    meshes = []
+    for r in range(n_sp_lvl):
+        cm = mesh_fine.cell_mask
+        if cm is not None:
+            stride = 2 ** (mesh_fine.refinement - r)
+            cm = cm[tuple(slice(None, None, stride)
+                          for _ in range(mesh_fine.dim))]
+        meshes.append(StructuredMesh(
+            mesh_fine.subdivisions, mesh_fine.lower, mesh_fine.upper,
+            refinement=r, cell_mask=cm,
+            axis_steps=[np.asarray(st).reshape(-1, 2 ** mesh_fine.refinement)
+                        [:, 0] * 2 ** mesh_fine.refinement
+                        for st in mesh_fine.axis_steps]
+            if mesh_fine.axis_steps is not None else None))
     poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
                                      poly_coarsening)
     poly_space = get_poly_mg_sequence(u_degree, 1, poly_coarsening)
@@ -404,7 +415,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
         key = (mesh_idx[l], u_deg)
         if key not in sop_cache:
             S = StokesOperator(mesh_l, u_deg, p_deg, u_deg + 1, viscosity,
-                               dtype=dtype, weak_faces=weak_faces)
+                               dtype=dtype, weak_faces=weak_faces,
+                               free_faces=free_faces)
             Mu = LaplaceMassOperator(mesh_l, u_deg, u_deg + 1, 1.0, 0.0,
                                      dtype=dtype, mask=S.mask_u_np)
             sop_cache[key] = (S, Mu)

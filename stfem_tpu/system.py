@@ -65,10 +65,10 @@ class SystemMatrix:
             for e in range(dim):
                 mats = [D if d == e else S for d in range(dim)]
                 ghat.append(_sumfac(mats, u, dim))
-            if K.jinv_diag is not None:
+            if K.jfac is not None:
                 for e in range(dim):
                     t = jnp.einsum("ji,i...->j...", Alpha, ghat[e]) * (
-                        w * K.jinv_diag[e] ** 2)
+                        w * K.jfac[e] ** 2)
                     mats = [D if d == e else S for d in range(dim)]
                     contrib = _sumfac(mats, t, dim, forward=False)
                     acc = contrib if acc is None else acc + contrib

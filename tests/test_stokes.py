@@ -114,3 +114,35 @@ def test_navier_stokes_picard():
                                  gmres_maxiter=60, n_picard=2)
     assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 2.0
     assert r2.avg_iterations <= 20
+
+
+def test_dfg_square_channel():
+    """dfgBenchmarkSquare: non-uniform tensor channel with the obstacle cell
+    removed; weak DFG inflow, weak no-slip walls, do-nothing outflow."""
+    import numpy as np
+    from stfem_tpu.drivers.stokes import dfg_square_mesh, run_dfg_square
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    def factory(ctx):
+        return build_stmg_stokes(
+            ctx["mesh"], ctx["fe_degree"], ctx["type_"], 1,
+            ctx["time_step"], viscosity=ctx["viscosity"],
+            params=GMGParams(smoothing_range=5.0), fe_degree_min=1,
+            space_time_level_first=False, weak_faces=ctx["weak_faces"],
+            free_faces=ctx["free_faces"])
+
+    out = run_dfg_square(refinement=1, n_slabs=2, gmres_maxiter=100,
+                         preconditioner_factory=factory)
+    assert max(out["iterations"]) <= 60
+    u = out["u"]
+    assert np.all(np.isfinite(u))
+    mesh = out["mesh"]
+    S = StokesOperator(mesh, 2, 1, 3, 1e-3,
+                       weak_faces=((0, 0), (1, 0), (1, 1)),
+                       free_faces=((0, 1),))
+    # eliminated (obstacle + corner) dofs stay exactly zero
+    assert np.abs(u[:, S.mask_u_np == 0]).max() == 0.0
+    # inflow drives a through-flow of the expected magnitude
+    assert 0.01 < np.abs(u[0]).max() < 0.1
+    # geometry: hole is where it should be
+    assert mesh.cell_mask[2, 2] == 0.0 and mesh.cell_mask[0, 0] == 1.0
