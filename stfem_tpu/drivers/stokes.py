@@ -689,8 +689,12 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
                      maxiter=gmres_maxiter, abstol=1e-12, reltol=rel_tol)
         return res
 
+    from ..ops.functionals import compute_divergence_norm, compute_drag_lift
+    # reference drag/lift scale: 2/(D u_mean^2 H) (tp_03stokes.cc:914-917)
+    dl_scale = 2.0 / (0.1 * u_mean ** 2 * 0.41)
     prev_flat = jnp.zeros(S.n_u + S.n_p)
     time, iters = 0.0, []
+    drag_lift, div_norms = [], []
     for s in range(n_slabs):
         res = solve_slab(matrix, rhs_matrix, precond, prev_flat,
                          jnp.asarray(time))
@@ -698,7 +702,11 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
         iters.append(int(res.iterations))
         u_time, p_time = S.unpack(res.x)
         prev_flat = S.pack(u_time[-1], p_time[-1])
+        drag_lift.append(compute_drag_lift(S, u_time[-1], p_time[-1],
+                                           dl_scale))
+        div_norms.append(compute_divergence_norm(S, u_time[-1]))
         time += tau
     u, p = S.unpack(prev_flat)
     return dict(iterations=iters, u=np.asarray(u), p=np.asarray(p),
-                mesh=mesh, time=time)
+                mesh=mesh, time=time, drag_lift=np.asarray(drag_lift),
+                divergence=div_norms)

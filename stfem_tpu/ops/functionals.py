@@ -1,0 +1,115 @@
+"""Surface and volume functionals: drag/lift over obstacle faces and the
+divergence norm (reference StokesMatrixFreeOperator::compute_drag_lift /
+compute_divergence, operators.h:1344-1439)."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..mesh.fe import q_nodes_1d, shape_data_1d
+from ..time.quadrature import LagrangeBasis, gauss
+from .spatial import _sumfac, cell_gather
+from .stokes import StokesOperator
+
+
+def obstacle_faces(mesh):
+    """All interior faces between active and removed cells:
+    list of (axis d, cell index of the ACTIVE cell, side) where side=1 means
+    the obstacle is on the + side of the active cell."""
+    cm = mesh.cell_mask
+    assert cm is not None
+    out = []
+    dim = mesh.dim
+    for d in range(dim):
+        sl_lo = [slice(None)] * dim
+        sl_hi = [slice(None)] * dim
+        sl_lo[d] = slice(0, -1)
+        sl_hi[d] = slice(1, None)
+        diff = cm[tuple(sl_lo)] - cm[tuple(sl_hi)]
+        for idx in np.argwhere(diff == 1.0):   # active | inactive
+            out.append((d, tuple(idx), 1))
+        for idx in np.argwhere(diff == -1.0):  # inactive | active
+            jdx = list(idx)
+            jdx[d] += 1
+            out.append((d, tuple(jdx), 0))
+    return out
+
+
+def compute_drag_lift(S: StokesOperator, u, p, scale: float) -> np.ndarray:
+    """F = scale * sum over obstacle faces of int [p n - nu (grad u +
+    grad u^T) n];  n = outward from the fluid (into the obstacle)."""
+    mesh = S.mesh
+    dim, k = S.dim, S.u_degree
+    nu = S.viscosity
+    from ..mesh.fe_dgp import dgp_exponents, shifted_legendre_value
+    basis = LagrangeBasis(np.asarray(q_nodes_1d(k)))
+    qx, qw = gauss(S.n_q)
+    sd = shape_data_1d(k, S.n_q)
+    S1 = np.asarray(sd.S)
+    F = np.zeros(dim)
+    u_np = np.asarray(u)
+    p_np = np.asarray(p)
+    for (d0, cidx, side) in obstacle_faces(mesh):
+        # trace on the active cell's face at local coord 0/1 of THAT cell
+        edge_x = 1.0 if side == 1 else 0.0
+        n_sign = 1.0 if side == 1 else -1.0   # outward from fluid
+        oth = [d for d in range(dim) if d != d0]
+        D1e = basis.deriv_matrix(np.array([edge_x]))[0]
+        V1e = basis.eval_matrix(np.array([edge_x]))[0]
+        # cell-local dofs of the active cell
+        sl = tuple(slice(cidx[d] * k, cidx[d] * k + k + 1)
+                   for d in range(dim))
+        hs = [float(mesh.axis_steps[d][cidx[d]])
+              if mesh.axis_steps is not None else float(mesh.h[d])
+              for d in range(dim)]
+        # face quadrature weights
+        wq = np.ones((S.n_q,) * (dim - 1))
+        for i, d in enumerate(oth):
+            shp = [1] * (dim - 1)
+            shp[i] = S.n_q
+            wq = wq * (qw * hs[d]).reshape(shp)
+        # grad u at the face quad points (per component c, direction e)
+        grads = np.zeros((dim, dim) + (S.n_q,) * (dim - 1))
+        vals_p = None
+        for c in range(dim):
+            loc = u_np[c][sl]
+            for e in range(dim):
+                vec = D1e / hs[d0] if e == d0 else V1e
+                arr = np.tensordot(vec, loc, axes=(0, d0))
+                # arr keeps the oth axes in order; evaluate along them
+                for i, d in enumerate(oth):
+                    m = np.asarray(sd.D) / hs[d] if d == e else S1
+                    arr = np.moveaxis(
+                        np.tensordot(m, arr, axes=(1, i)), 0, i)
+                grads[c, e] = arr
+        # pressure trace: modal of the active cell at (edge, q_oth)
+        exps = dgp_exponents(dim, S.p_degree)
+        Pq = np.ones((len(exps),) + (S.n_q,) * (dim - 1))
+        for m_, e_ in enumerate(exps):
+            Pq[m_] *= shifted_legendre_value(e_[d0], np.array([edge_x]))[0]
+            for i, d in enumerate(oth):
+                shp = [1] * (dim - 1)
+                shp[i] = S.n_q
+                Pq[m_] = Pq[m_] * shifted_legendre_value(
+                    e_[d], qx).reshape(shp)
+        pq = np.tensordot(p_np[cidx], Pq, axes=(0, 0))
+        # tau = p n - nu (grad u + grad u^T) n; n = n_sign e_{d0}
+        for c in range(dim):
+            tau_c = -nu * (grads[c, d0] + grads[d0, c]) * n_sign
+            if c == d0:
+                tau_c = tau_c + pq * n_sign
+            F[c] += float(np.sum(wq * tau_c))
+    return scale * F
+
+
+def compute_divergence_norm(S: StokesOperator, u) -> float:
+    """sqrt(int_Omega (div u)^2) over active cells
+    (reference operators.h:1391-1439)."""
+    dim, k = S.dim, S.u_degree
+    div_q = 0.0
+    for c in range(dim):
+        uc = cell_gather(u[c] * S.mask_u, S.cells, k)
+        mats = [S.D if d == c else S.S for d in range(dim)]
+        div_q = div_q + _sumfac(mats, uc, dim) * S.jfac[c]
+    val = jnp.sum(S.jxw * div_q ** 2)
+    return float(jnp.sqrt(val))

@@ -146,3 +146,6 @@ def test_dfg_square_channel():
     assert 0.01 < np.abs(u[0]).max() < 0.1
     # geometry: hole is where it should be
     assert mesh.cell_mask[2, 2] == 0.0 and mesh.cell_mask[0, 0] == 1.0
+    # drag/lift functional produced finite values; divergence small
+    assert np.all(np.isfinite(out["drag_lift"]))
+    assert out["divergence"][-1] < 0.05
