@@ -75,7 +75,8 @@ def main():
         gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=2, variable=False,
-                                          coarse_grid_smoother_type="GMRES"))
+                                          coarse_grid_smoother_type="GMRES",
+                                          vanka_bf16=True))
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)

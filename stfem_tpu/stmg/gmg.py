@@ -62,6 +62,9 @@ class GMGParams:
     # because the estimate depends on dof ORDER through the deterministic
     # start vector (lexicographic here vs deal.II's hierarchical numbering).
     eig_safety_factor: float = 1.2
+    # store Vanka patch factors in bfloat16 (zero measured iteration cost,
+    # half the smoother memory/bandwidth on TPU)
+    vanka_bf16: bool = False
     # True: Identity levels contribute nothing (u=0 pre-smooth, no post) --
     # helps strongly-coupled systems (wave); False: deal.II-faithful
     # MGSmootherPrecondition-with-PreconditionIdentity Richardson steps.
@@ -248,7 +251,9 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
         if precond_seq[l] == SupportedSmoothers.Identity:
             lvl.smoother = IdentitySmoother()
         else:
-            vanka = PreconditionVanka(K, M, Alpha_l, Beta_l, dtype=dtype)
+            vanka = PreconditionVanka(
+                K, M, Alpha_l, Beta_l, dtype=dtype,
+                storage_dtype=jnp.bfloat16 if params.vanka_bf16 else None)
             if params.relaxation == 0.0 or \
                     precond_seq[l] == SupportedSmoothers.Chebyshev:
                 if np.sum(K.mask_np) == 0:

