@@ -65,6 +65,10 @@ class GMGParams:
     # store Vanka patch factors in bfloat16 (zero measured iteration cost,
     # half the smoother memory/bandwidth on TPU)
     vanka_bf16: bool = False
+    # cap on the `variable` doubling (2^(max-l) smoothing steps): bounds the
+    # sequential coarse-level work on TPU while keeping h-robustness;
+    # 0 = uncapped (deal.II behavior)
+    variable_steps_cap: int = 0
     # True: Identity levels contribute nothing (u=0 pre-smooth, no post) --
     # helps strongly-coupled systems (wave); False: deal.II-faithful
     # MGSmootherPrecondition-with-PreconditionIdentity Richardson steps.
@@ -94,7 +98,10 @@ class GMG:
     def _steps2(self, level: int) -> int:
         s = self.params.smoothing_steps
         if self.params.variable:
-            s *= 2 ** (self.max_level - level)
+            m = 2 ** (self.max_level - level)
+            if self.params.variable_steps_cap:
+                m = min(m, self.params.variable_steps_cap)
+            s *= m
         return s
 
     def _apply_smoother(self, level: int, rhs):
