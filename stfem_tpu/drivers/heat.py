@@ -67,7 +67,9 @@ def run_heat_cycle(refinement: int, fe_degree: int,
                    extrapolate: bool = True,
                    distort_grid: float = 0.0,
                    coefficient=None, compute_errors: bool = True,
-                   initial_fn=None, rhs_fn_override=None) -> CycleResult:
+                   initial_fn=None, rhs_fn_override=None,
+                   do_output: bool = False,
+                   output_prefix: str = "solution") -> CycleResult:
     """One convergence cycle (reference tp_01.cc:56-725).
 
     preconditioner_factory(ctx) -> callable: builds the STMG preconditioner
@@ -179,6 +181,12 @@ def run_heat_cycle(refinement: int, fe_degree: int,
         prev_x = x[-1]
         time += n_timesteps_at_once * time_step
         n_slabs += 1
+        if do_output:
+            # reference tp_01.cc:636-644 (VTU dumps) -> structured VTK via
+            # the native writer
+            from ..utils.native import write_vtk
+            write_vtk(f"{output_prefix}_{n_slabs:04d}.vtk",
+                      np.asarray(coords), np.asarray(prev_x))
 
     return CycleResult(
         n_cells=mesh.n_cells, n_dofs=mesh.n_dofs(space_degree),

@@ -582,19 +582,33 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
         l2_h1_p=float(np.sqrt(h1p)))
 
 
-def dfg_square_mesh(refinement: int = 1):
-    """The dfgBenchmarkSquare channel (2D): non-uniform tensor subdivision of
-    [0,2.2]x[0,0.41] with the cell around (0.2, 0.2) removed (reference
-    grids.h:243-280)."""
-    x_steps = [0.15, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.35, 0.35]
-    y_steps = [0.15, 0.1, 0.16]
-    base_mask = np.ones((len(x_steps), len(y_steps)))
-    base_mask[1, 1] = 0.0  # the [0.15,0.25]^2 obstacle cell
+def dfg_square_mesh(refinement: int = 1, dim: int = 2):
+    """The dfgBenchmarkSquare channel: non-uniform tensor subdivision with
+    the cell column around the obstacle removed (reference grids.h:243-323;
+    2D: [0,2.2]x[0,0.41], obstacle at (0.2,0.2); 3D: [0,2.5]x[0,0.41]^2,
+    obstacle column at x,y = (0.5, 0.2))."""
+    if dim == 2:
+        x_steps = [0.15, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.35, 0.35]
+        y_steps = [0.15, 0.1, 0.16]
+        base_mask = np.ones((len(x_steps), len(y_steps)))
+        base_mask[1, 1] = 0.0  # the [0.15,0.25]^2 obstacle cell
+        steps = [x_steps, y_steps]
+        lower = [0.0, 0.0]
+    else:
+        x_steps = [0.3, 0.15, 0.1, 0.15, 0.25, 0.25, 0.25, 0.25, 0.25,
+                   0.25, 0.3]
+        y_steps = [0.15, 0.1, 0.16]
+        z_steps = [0.41 / 3] * 3
+        base_mask = np.ones((len(x_steps), len(y_steps), len(z_steps)))
+        base_mask[2, 1, :] = 0.0  # obstacle column through z
+        steps = [x_steps, y_steps, z_steps]
+        lower = [0.0, 0.0, 0.0]
     r = 2 ** refinement
-    cm = np.repeat(np.repeat(base_mask, r, axis=0), r, axis=1)
-    return StructuredMesh([1, 1], [0.0, 0.0], [2.2, 0.41],
-                          refinement=refinement, cell_mask=cm,
-                          axis_steps=[x_steps, y_steps])
+    cm = base_mask
+    for d in range(dim):
+        cm = np.repeat(cm, r, axis=d)
+    return StructuredMesh([1] * dim, lower, None, refinement=refinement,
+                          cell_mask=cm, axis_steps=steps)
 
 
 def run_dfg_square(refinement: int = 1, fe_degree: int = 1,

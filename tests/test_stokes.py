@@ -149,3 +149,33 @@ def test_dfg_square_channel():
     # drag/lift functional produced finite values; divergence small
     assert np.all(np.isfinite(out["drag_lift"]))
     assert out["divergence"][-1] < 0.05
+
+
+def test_dfg_square_3d_smoke():
+    """3D dfgBenchmarkSquare geometry + Stokes operator/Nitsche machinery in
+    3D (reference grids.h:283-323)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stfem_tpu.drivers.stokes import dfg_square_mesh
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    m3 = dfg_square_mesh(0, dim=3)
+    assert m3.cells == (11, 3, 3)
+    assert abs(m3.upper[0] - 2.5) < 1e-12
+    assert m3.cell_mask[2, 1, 1] == 0.0 and m3.cell_mask[0, 0, 0] == 1.0
+    S = StokesOperator(m3, 2, 1, 3, 1e-3,
+                       weak_faces=((0, 0), (1, 0), (1, 1), (2, 0), (2, 1)),
+                       free_faces=((0, 1),))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((3,) + S.dof_shape_u))
+    p = jnp.asarray(rng.standard_normal(m3.cells + (S.n_ploc,)))
+    ru, rp = S.apply(u, p)
+    assert bool(jnp.all(jnp.isfinite(ru))) and bool(jnp.all(jnp.isfinite(rp)))
+    # symmetry structure: <v, B^T p> == -<div v ... consistency of up/pu:
+    # <ru(0,p), u2> == -<rp(u2,0), p> (the saddle block skew pairing)
+    u2 = jnp.asarray(rng.standard_normal((3,) + S.dof_shape_u))
+    ru_p, _ = S.apply(jnp.zeros_like(u), p)
+    _, rp_u = S.apply(u2, jnp.zeros_like(p))
+    lhs = float(jnp.sum(ru_p * (u2 * S.mask_u)))
+    rhs = -float(jnp.sum(rp_u * p))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
