@@ -164,3 +164,50 @@ class Parameters:
         if p.fe_degree_min_space == -1:
             p.fe_degree_min_space = p.fe_degree_min
         return p
+
+
+@dataclass
+class StokesParameters:
+    """Stokes-specific parameter block (reference stokes::Parameters,
+    stokes.h:12-34 / stokes.cc:6-27) -- parsed from the SAME json file as
+    Parameters, with the reference's key names."""
+    compute_drag_lift: bool = True
+    rho: float = 1.0
+    characteristic_diameter: float = 0.1
+    u_mean: float = 1.0
+    viscosity: float = 1.0
+    delta0: float = 0.0
+    delta1: float = 0.0
+    penalty1: float = 20.0
+    penalty2: float = 10.0
+    outflow_penalty: float = 0.0
+    mean_pressure: bool = True
+    dg_pressure: bool = True
+    dfg_benchmark: int = 0
+    height: float = 0.41
+
+    @classmethod
+    def parse(cls, file_name: str) -> "StokesParameters":
+        with open(file_name) as f:
+            raw = json.load(f)
+        p = cls()
+        key_map = {
+            "computeDragLift": ("compute_drag_lift", _to_bool),
+            "rho": ("rho", float),
+            "characteristicDiam": ("characteristic_diameter", float),
+            "uMean": ("u_mean", float),
+            "viscosity": ("viscosity", float),
+            "delta0": ("delta0", float),
+            "delta1": ("delta1", float),
+            "penalty1": ("penalty1", float),
+            "penalty2": ("penalty2", float),
+            "outflowPenalty": ("outflow_penalty", float),
+            "meanPressure": ("mean_pressure", _to_bool),
+            "dGPressure": ("dg_pressure", _to_bool),
+            "dfgBenchmark": ("dfg_benchmark", int),
+        }
+        for key, value in raw.items():
+            if key in key_map:
+                attr, conv = key_map[key]
+                setattr(p, attr, conv(value))
+        return p

@@ -440,7 +440,8 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
                             n_picard: int = 3,
                             preconditioner_factory=None,
                             gmres_maxiter: int = 200,
-                            rel_tol: float = 1e-10) -> StokesCycleResult:
+                            rel_tol: float = 1e-10,
+                            delta0: float = 0.0) -> StokesCycleResult:
     """Navier-Stokes convergence cycle: per slab, a Picard (Oseen) iteration
     with the convective linearization in "form" mode; the manufactured
     solution/RHS include the convection term (reference stokes::RHSFunction
@@ -462,7 +463,8 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
     tau = end_time * 2.0 ** (-(refinement + 1)) / n_steps
     T = nt * n_timesteps_at_once
 
-    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity)
+    S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
+                       delta0=delta0)
     Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
                              mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,

@@ -8,37 +8,25 @@ Default runs tf01stokes + tf02stokes like the reference
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
-from ..config import Parameters
+from ..config import Parameters, StokesParameters
 from ..stmg.gmg import GMGParams, build_stmg_stokes
 from ..types import TimeStepType
 from ..utils.tables import ConvergenceTable
 from .stokes import run_stokes_cycle
 
 
-def parse_stokes_extra(path: str) -> dict:
+def parse_stokes_extra(path: str) -> StokesParameters:
     """stokes::Parameters (reference stokes.cc:6-27)."""
-    out = dict(viscosity=1.0, mean_pressure=True, dg_pressure=True,
-               compute_drag_lift=True, dfg_benchmark=0)
     if path and os.path.exists(path):
-        with open(path) as f:
-            raw = json.load(f)
-        if "viscosity" in raw:
-            out["viscosity"] = float(raw["viscosity"])
-        for k_json, k in (("meanPressure", "mean_pressure"),
-                          ("dGPressure", "dg_pressure"),
-                          ("computeDragLift", "compute_drag_lift")):
-            if k_json in raw:
-                out[k] = str(raw[k_json]).lower() in ("true", "1")
-        if "dfgBenchmark" in raw:
-            out["dfg_benchmark"] = int(raw["dfgBenchmark"])
-    return out
+        return StokesParameters.parse(path)
+    return StokesParameters()
 
 
-def run_config(p: Parameters, stokes_extra: dict, out=sys.stdout):
+def run_config(p: Parameters, stokes_extra: StokesParameters,
+               out=sys.stdout):
     table = ConvergenceTable()
     itable_rows = []
     for k in range(p.fe_degree, p.fe_degree + p.n_deg_cycles):
@@ -59,9 +47,9 @@ def run_config(p: Parameters, stokes_extra: dict, out=sys.stdout):
             res = run_stokes_cycle(
                 refinement=ref, fe_degree=k, type_=p.type,
                 n_timesteps_at_once=p.n_timesteps_at_once,
-                viscosity=stokes_extra["viscosity"],
+                viscosity=stokes_extra.viscosity,
                 end_time=p.end_time,
-                mean_pressure=stokes_extra["mean_pressure"],
+                mean_pressure=stokes_extra.mean_pressure,
                 preconditioner_factory=factory,
                 gmres_maxiter=100 if factory else 1000,
                 rel_tol=p.rel_tol, extrapolate=p.extrapolate)

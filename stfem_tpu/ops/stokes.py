@@ -30,7 +30,8 @@ class StokesOperator:
     def __init__(self, mesh: StructuredMesh, u_degree: int, p_degree: int,
                  n_q: int, viscosity: float = 1.0, dtype=jnp.float64,
                  dg_pressure: bool = True, weak_faces=(), free_faces=(),
-                 penalty1: float = 20.0, penalty2: float = 10.0):
+                 penalty1: float = 20.0, penalty2: float = 10.0,
+                 delta0: float = 0.0):
         """weak_faces: iterable of (axis, side) boundary faces with Nitsche
         weak Dirichlet conditions (reference operators.h:1658-1751); those
         faces are NOT eliminated from the velocity mask.  free_faces: faces
@@ -43,6 +44,7 @@ class StokesOperator:
         self.p_degree = p_degree
         self.n_q = n_q
         self.viscosity = float(viscosity)
+        self.delta0 = float(delta0)
         self.dtype = dtype
         self.cells = mesh.cells
         self.dof_shape_u = mesh.dof_shape(u_degree)
@@ -188,6 +190,8 @@ class StokesOperator:
             ru_n, rp_n = self.apply_nitsche(u, p)
             ru = ru + ru_n
             rp = rp + rp_n
+        if navier and self.delta0 != 0.0:
+            ru = ru + self.apply_cip(u, u_lin, self.delta0)
         return ru * self.mask_u, rp
 
     def apply_flat(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -470,3 +474,77 @@ class StokesOperator:
                         jnp.asarray(Fup, self.dtype),
                         jnp.asarray(Fpu, self.dtype)))
         return out
+
+    # -- CIP interior-face convective stabilization -------------------------
+    # (reference do_face_integral_local, operators.h:1605-1633: jump penalty
+    #  delta_K = delta0 h^2/pa (b.n)^2 on [grad u . n] across interior faces;
+    #  the coefficient velocity b is the LINEARIZATION state here -- the
+    #  reference evaluates it from the trial function, which is only
+    #  meaningful inside a nonlinear application; delta0 = 0 in every shipped
+    #  convergence config.)
+    def apply_cip(self, u, u_lin, delta0: float):
+        """Returns the stabilization contribution to ru (same shape as u)."""
+        dim, k = self.dim, self.u_degree
+        from ..mesh.fe import q_nodes_1d
+        from ..time.quadrature import LagrangeBasis, gauss
+        basis = LagrangeBasis(np.asarray(q_nodes_1d(k)))
+        D_at1 = jnp.asarray(basis.deriv_matrix(np.array([1.0]))[0],
+                            self.dtype)
+        D_at0 = jnp.asarray(basis.deriv_matrix(np.array([0.0]))[0],
+                            self.dtype)
+        V_at1 = jnp.asarray(basis.eval_matrix(np.array([1.0]))[0], self.dtype)
+        pa = k ** 3 * np.sqrt(k)
+        ru = jnp.zeros(u.shape, self.dtype)
+        L = u.ndim - dim - 1
+        for d0 in range(dim):
+            nc = self.cells[d0]
+            if nc < 2:
+                continue
+            h0 = float(self.mesh.h[d0])
+            oth = [d for d in range(dim) if d != d0]
+            hf = float(np.prod([self.mesh.h[d] for d in oth])) ** (
+                1.0 / max(dim - 1, 1))
+            delta_K = delta0 * hf * hf / pa
+            # plane dof indices: k, 2k, ..., (nc-1)k along axis d0
+            for c in range(dim):
+                uc = jnp.take(u, c, axis=L)
+                ulc = jnp.take(u_lin, c, axis=L) if u_lin is not None else uc
+                # layers: left cell of each interior plane spans
+                # [(j)k ... (j+1)k], right cell [(j+1)k ... (j+2)k]
+                # normal derivative traces at the shared plane
+                mv = jnp.moveaxis(uc, L + d0, 0)
+                n_dof = mv.shape[0]
+                # gather per interior plane j=0..nc-2: left layer start j*k
+                lidx = np.arange(nc - 1)[:, None] * k + np.arange(k + 1)
+                ridx = lidx + k
+                left = mv[jnp.asarray(lidx.reshape(-1))].reshape(
+                    (nc - 1, k + 1) + mv.shape[1:])
+                right = mv[jnp.asarray(ridx.reshape(-1))].reshape(
+                    (nc - 1, k + 1) + mv.shape[1:])
+                dn_l = jnp.tensordot(D_at1 / h0, left, axes=(0, 1))
+                dn_r = jnp.tensordot(D_at0 / h0, right, axes=(0, 1))
+                jump = dn_l - dn_r              # [(nc-1), lead, dofs_oth]
+                # (b.n)^2 coefficient at the face (values of comp d0)
+                mb = jnp.moveaxis(
+                    jnp.take(u_lin if u_lin is not None else u, d0, axis=L),
+                    L + d0, 0)
+                bl = mb[jnp.asarray(lidx.reshape(-1))].reshape(
+                    (nc - 1, k + 1) + mb.shape[1:])
+                bn = jnp.tensordot(V_at1, bl, axes=(0, 1))
+                coef = delta_K * bn * bn
+                # test-function distribution: same traces transposed, with
+                # the oth-axes treated nodally (GLL trace is interpolatory;
+                # the face integral over oth axes uses the lumped GLL rule --
+                # consistent penalty, documented quadrature simplification)
+                w_oth = float(np.prod([self.mesh.h[d] for d in oth]))
+                t = coef * jump * w_oth
+                addl = jnp.einsum("a,p...->pa...", D_at1 / h0, t)
+                addr = jnp.einsum("a,p...->pa...", -D_at0 / h0, t)
+                upd = jnp.zeros(mv.shape, self.dtype)
+                upd = upd.at[jnp.asarray(lidx.reshape(-1))].add(
+                    addl.reshape((-1,) + mv.shape[1:]))
+                upd = upd.at[jnp.asarray(ridx.reshape(-1))].add(
+                    addr.reshape((-1,) + mv.shape[1:]))
+                upd = jnp.moveaxis(upd, 0, L + d0)
+                ru = ru.at[(..., c) + (slice(None),) * dim].add(upd)
+        return ru * self.mask_u

@@ -179,3 +179,40 @@ def test_dfg_square_3d_smoke():
     lhs = float(jnp.sum(ru_p * (u2 * S.mask_u)))
     rhs = -float(jnp.sum(rp_u * p))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_cip_stabilization():
+    """CIP interior-face penalty (reference do_face_integral_local,
+    operators.h:1605-1633): vanishes on globally C^1 fields, is PSD, and
+    enters apply() only in nonlinear modes when delta0 != 0."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    S0 = StokesOperator(mesh, 2, 3, 3, 1.0)
+    S = StokesOperator(mesh, 2, 3, 3, 1.0, delta0=0.5)
+    coords = mesh.dof_coordinates(2)
+    u_smooth = jnp.stack([jnp.asarray(coords[..., 0] ** 2),
+                          jnp.asarray(coords[..., 1] ** 2)])
+    r = S.apply_cip(u_smooth, u_smooth, 0.5)
+    assert float(jnp.max(jnp.abs(r))) < 1e-12
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((2,) + S.dof_shape_u))
+    p = jnp.asarray(rng.standard_normal(S.cells + (S.n_ploc,)))
+    r2 = S.apply_cip(u * S.mask_u, u_smooth, 0.5)
+    assert float(jnp.sum((u * S.mask_u) * r2)) >= -1e-10
+
+    # apply(mode="form") with delta0 = base apply + cip term
+    ru0, rp0 = S0.apply(u, p, mode="form", u_lin=u_smooth)
+    ru1, rp1 = S.apply(u, p, mode="form", u_lin=u_smooth)
+    np.testing.assert_allclose(np.asarray(ru1),
+                               np.asarray(ru0 + r2 * S.mask_u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rp1), np.asarray(rp0))
+    # linear mode: CIP off even with delta0 set
+    ru_l0, _ = S0.apply(u, p)
+    ru_l1, _ = S.apply(u, p)
+    np.testing.assert_allclose(np.asarray(ru_l1), np.asarray(ru_l0))
