@@ -69,12 +69,18 @@ class StokesErrorCalculator:
         self.coords_u = jnp.asarray(quad_coordinates(mesh, nqu), dtype)
         # p evaluation (QGauss(p_degree+1))
         nqp = S.p_degree + 1
-        self.Pq_err = jnp.asarray(dgp_values_at_tensor_gauss(
-            dim, S.p_degree, nqp), dtype)
-        self.dPq_err = jnp.asarray(dgp_gradients_at_tensor_gauss(
-            dim, S.p_degree, nqp), dtype)
+        if S.dg_pressure:
+            self.Pq_err = jnp.asarray(dgp_values_at_tensor_gauss(
+                dim, S.p_degree, nqp), dtype)
+            self.dPq_err = jnp.asarray(dgp_gradients_at_tensor_gauss(
+                dim, S.p_degree, nqp), dtype)
+        else:
+            sdp = shape_data_1d(S.p_degree, nqp)
+            self.Sp_err = jnp.asarray(sdp.S, dtype)
+            self.Dp_err = jnp.asarray(sdp.D, dtype)
         gp = mesh.geometry(nqp, S.p_degree)
         self.jxw_p = jnp.asarray(gp.jxw, dtype)
+        self.jinv_p = jnp.asarray(gp.jinv_diag, dtype)
         self.coords_p = jnp.asarray(quad_coordinates(mesh, nqp), dtype)
         self.nqp = nqp
 
@@ -134,23 +140,34 @@ class StokesErrorCalculator:
                 res["hdiv_u"] += tau * self.tw[q] * float(hdiv)
                 res["linf_u"] = max(res["linf_u"], float(linf))
                 # p errors
-                nploc = S.n_ploc
-                pq = jnp.einsum("...m,mQ->...Q", p,
-                                self.Pq_err.reshape(nploc, -1))
-                pq = pq.reshape(p.shape[:-1] + (self.nqp,) * dim)
                 pe = stokes_problem.exact_p(self.coords_p, t)
+                gpe = stokes_problem.exact_grad_p(self.coords_p, t)
+                if S.dg_pressure:
+                    nploc = S.n_ploc
+                    pq = jnp.einsum("...m,mQ->...Q", p,
+                                    self.Pq_err.reshape(nploc, -1))
+                    pq = pq.reshape(p.shape[:-1] + (self.nqp,) * dim)
+                    h1p = 0.0
+                    for e in range(dim):
+                        dpq = jnp.einsum(
+                            "...m,mQ->...Q", p,
+                            self.dPq_err[..., e].reshape(nploc, -1))
+                        dpq = dpq.reshape(
+                            p.shape[:-1] + (self.nqp,) * dim) * self.jinv[e]
+                        h1p = h1p + jnp.sum(self.jxw_p
+                                            * (dpq - gpe[..., e]) ** 2)
+                else:
+                    pc = cell_gather(p * S.mask_p, S.cells, S.p_degree)
+                    pq = _sumfac([self.Sp_err] * dim, pc, dim)
+                    h1p = 0.0
+                    for e in range(dim):
+                        mats = [self.Dp_err if d == e else self.Sp_err
+                                for d in range(dim)]
+                        dpq = _sumfac(mats, pc, dim) * self.jinv_p[e]
+                        h1p = h1p + jnp.sum(self.jxw_p
+                                            * (dpq - gpe[..., e]) ** 2)
                 l2p = jnp.sum(self.jxw_p * (pq - pe) ** 2)
                 linfp = jnp.max(jnp.abs(pq - pe))
-                gpe = stokes_problem.exact_grad_p(self.coords_p, t)
-                h1p = 0.0
-                for e in range(dim):
-                    dpq = jnp.einsum(
-                        "...m,mQ->...Q", p,
-                        self.dPq_err[..., e].reshape(nploc, -1))
-                    dpq = dpq.reshape(p.shape[:-1] + (self.nqp,) * dim) \
-                        * self.jinv[e]
-                    h1p = h1p + jnp.sum(self.jxw_p
-                                        * (dpq - gpe[..., e]) ** 2)
                 res["l2_p"] += tau * self.tw[q] * float(l2p)
                 res["h1_p"] += tau * self.tw[q] * float(h1p)
                 res["linf_p"] = max(res["linf_p"], float(linfp))
@@ -165,7 +182,8 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
                      preconditioner_factory=None, gmres_maxiter: int = 200,
                      rel_tol: float = 1e-12,
                      extrapolate: bool = True,
-                     nitsche_boundary: bool = False) -> StokesCycleResult:
+                     nitsche_boundary: bool = False,
+                     dg_pressure: bool = True) -> StokesCycleResult:
     dim = 2
     is_cgp = type_ == TimeStepType.CGP
     u_degree = fe_degree + 1
@@ -185,7 +203,7 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
         # all boundaries weak (conv test: zero Dirichlet data => no extra RHS)
         weak_faces = tuple((d, sd) for d in range(dim) for sd in (0, 1))
     S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
-                       weak_faces=weak_faces)
+                       weak_faces=weak_faces, dg_pressure=dg_pressure)
     Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
                              mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
@@ -217,7 +235,7 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
     tq_pts = get_time_quad(type_, fe_degree)[0]
 
     def assemble_force(time):
-        zero_p = jnp.zeros((mesh.n_cells * S.n_ploc,))
+        zero_p = jnp.zeros((S.n_p,))
         parts = []
         for it in range(n_timesteps_at_once):
             step_parts = [None] * nt
@@ -255,7 +273,7 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
     @jax.jit
     def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
-        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
         rhs = rhs + assemble_force(time)
         x0 = (jnp.broadcast_to(prev_flat, (T, prev_flat.size))
@@ -267,7 +285,7 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
     err = StokesErrorCalculator(S, type_, fe_degree)
     coords_u = jnp.asarray(mesh.dof_coordinates(u_degree))
     u0 = jnp.moveaxis(stokes_problem.exact_u(coords_u, 0.0), -1, 0)
-    p0 = jnp.zeros(mesh.cells + (S.n_ploc,))  # exact p(0) = 0
+    p0 = jnp.zeros(S.p_shape)  # exact p(0) = 0
     prev_flat = S.pack(u0, p0)
 
     vol = float(np.prod(np.asarray(mesh.upper) - np.asarray(mesh.lower)))
@@ -284,14 +302,20 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
         x = res.x
         u_time, p_time = S.unpack(x)
         if mean_pressure:
-            # subtract the mean from each pressure time block (DGP: the
-            # constant-mode coefficient carries the cell mean)
-            means = jnp.sum(p_time[..., 0], axis=tuple(range(1, dim + 1))) \
-                * detj / vol
-            p_time = p_time.at[..., 0].add(
-                -means.reshape((T,) + (1,) * dim))
+            if dg_pressure:
+                # subtract the mean from each pressure time block (DGP: the
+                # constant-mode coefficient carries the cell mean)
+                means = jnp.sum(p_time[..., 0],
+                                axis=tuple(range(1, dim + 1))) * detj / vol
+                p_time = p_time.at[..., 0].add(
+                    -means.reshape((T,) + (1,) * dim))
+            else:
+                pq = S._p_at_quad(p_time)
+                means = jnp.sum(pq * S.jxw,
+                                axis=tuple(range(1, pq.ndim))) / vol
+                p_time = p_time - means.reshape((T,) + (1,) * dim)
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
-        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         e = err.evaluate(time, tau, u_time, p_time, prev_u, prev_p,
                          n_timesteps_at_once)
         l2 += e["l2_u"]
@@ -344,7 +368,7 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
 
     weak_faces = ((0, 1),)   # x = x_max: the moving wall (boundary id 1)
     S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
-                       weak_faces=weak_faces)
+                       weak_faces=weak_faces, dg_pressure=dg_pressure)
     Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
                              mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
@@ -402,7 +426,7 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
     @jax.jit
     def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
-        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
         rhs = rhs + assemble_nitsche_rhs(time)
         x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
@@ -492,7 +516,7 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
     tq_pts = get_time_quad(type_, fe_degree)[0]
 
     def assemble_force(time):
-        zero_p = jnp.zeros((mesh.n_cells * S.n_ploc,))
+        zero_p = jnp.zeros((S.n_p,))
         parts = [None] * T
         for it in range(n_timesteps_at_once):
             for j, q in enumerate(tq_pts):
@@ -527,7 +551,7 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
     @jax.jit
     def solve_oseen(matrix_, rhs_matrix_, precond_, prev_flat, u_lin, time):
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
-        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
         rhs = rhs + assemble_force(time)
         x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
@@ -563,7 +587,7 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
             * detj
         p_time = p_time.at[..., 0].add(-means.reshape((T,) + (1,) * dim))
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
-        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         e = err.evaluate(time, tau, u_time, p_time, prev_u, prev_p,
                          n_timesteps_at_once)
         l2 += e["l2_u"]; h1 += e["h1_u"]; hdiv += e["hdiv_u"]
@@ -697,7 +721,7 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
     @jax.jit
     def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
-        prev_p = prev_flat[S.n_u:].reshape(mesh.cells + (S.n_ploc,))
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
         rhs = rhs + assemble_nitsche_rhs(time)
         x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))

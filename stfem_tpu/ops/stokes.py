@@ -36,8 +36,14 @@ class StokesOperator:
         weak Dirichlet conditions (reference operators.h:1658-1751); those
         faces are NOT eliminated from the velocity mask.  free_faces: faces
         with no constraint at all (do-nothing outflow).  penalties gamma1 =
-        nu*penalty1, gamma2 = penalty2 (reference ctor defaults 20/10)."""
-        assert dg_pressure, "FE_Q pressure: not yet implemented"
+        nu*penalty1, gamma2 = penalty2 (reference ctor defaults 20/10).
+
+        dg_pressure=False selects the Taylor-Hood pair Q_{u_degree}/Q_{
+        p_degree} with a CONTINUOUS nodal pressure (reference
+        tp_03stokes.cc:83-86: FE_DGP vs FE_Q switch on dGPressure)."""
+        assert dg_pressure or not weak_faces, \
+            "FE_Q pressure + Nitsche faces: not yet implemented"
+        self.dg_pressure = bool(dg_pressure)
         self.mesh = mesh
         self.dim = mesh.dim
         self.u_degree = u_degree
@@ -49,6 +55,21 @@ class StokesOperator:
         self.cells = mesh.cells
         self.dof_shape_u = mesh.dof_shape(u_degree)
         self.n_ploc = n_dgp_dofs(self.dim, p_degree)
+        if not dg_pressure:
+            self.dof_shape_p = mesh.dof_shape(p_degree)
+            sdp = shape_data_1d(p_degree, n_q)
+            self.Sp = jnp.asarray(sdp.S, dtype)
+            self.Dp = jnp.asarray(sdp.D, dtype)
+            maskp = np.ones(self.dof_shape_p)
+            if mesh.cell_mask is not None:
+                maskp = np.zeros(self.dof_shape_p)
+                kp = p_degree
+                for cidx in np.argwhere(mesh.cell_mask == 1.0):
+                    sl = tuple(slice(int(c) * kp, int(c) * kp + kp + 1)
+                               for c in cidx)
+                    maskp[sl] = 1.0
+            self.mask_p_np = maskp
+            self.mask_p = jnp.asarray(maskp, dtype)
 
         sd = shape_data_1d(u_degree, n_q)
         self.S = jnp.asarray(sd.S, dtype)
@@ -103,7 +124,8 @@ class StokesOperator:
             dgp_values_at_tensor_gauss(self.dim, p_degree, n_q), dtype)
 
         self.n_u = self.dim * int(np.prod(self.dof_shape_u))
-        self.n_p = int(np.prod(self.cells)) * self.n_ploc
+        self.n_p = (int(np.prod(self.cells)) * self.n_ploc if dg_pressure
+                    else int(np.prod(self.dof_shape_p)))
 
     # -- packing ------------------------------------------------------------
     def pack(self, u: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -115,11 +137,21 @@ class StokesOperator:
     def unpack(self, x: jnp.ndarray):
         lead = x.shape[:-1]
         u = x[..., :self.n_u].reshape(lead + (self.dim,) + self.dof_shape_u)
-        p = x[..., self.n_u:].reshape(lead + self.cells + (self.n_ploc,))
+        p = x[..., self.n_u:].reshape(lead + self.p_shape)
         return u, p
 
+    @property
+    def p_shape(self) -> tuple[int, ...]:
+        """Per-block pressure shape: [*cells, nploc] (DGP modal) or
+        [*pdofgrid] (FE_Q nodal)."""
+        return (self.cells + (self.n_ploc,) if self.dg_pressure
+                else self.dof_shape_p)
+
     def _p_at_quad(self, p: jnp.ndarray) -> jnp.ndarray:
-        """[..., *cells, nploc] -> [..., *cells, *q]."""
+        """[..., *p_shape] -> [..., *cells, *q]."""
+        if not self.dg_pressure:
+            pc = cell_gather(p * self.mask_p, self.cells, self.p_degree)
+            return _sumfac([self.Sp] * self.dim, pc, self.dim)
         qshape = (self.n_q,) * self.dim
         Pq = self.Pq.reshape(self.n_ploc, -1)
         pq = jnp.einsum("...m,mQ->...Q", p, Pq)
@@ -164,9 +196,15 @@ class StokesOperator:
         div_q = sum(gphys[c][c] for c in range(dim))
 
         # rp = (q, div u)
-        rp = jnp.einsum("mQ,...Q->...m", self.Pq.reshape(self.n_ploc, -1),
-                        (div_q * self.jxw).reshape(
-                            div_q.shape[:-dim] + (-1,)))
+        if self.dg_pressure:
+            rp = jnp.einsum("mQ,...Q->...m",
+                            self.Pq.reshape(self.n_ploc, -1),
+                            (div_q * self.jxw).reshape(
+                                div_q.shape[:-dim] + (-1,)))
+        else:
+            y = _sumfac([self.Sp] * dim, div_q * self.jxw, dim,
+                        forward=False)
+            rp = cell_scatter(y, self.cells, self.p_degree) * self.mask_p
 
         # ru_c = sum_e int d_e v (nu d_e u_c - delta_ce p [- convection_ce])
         ru_comps = []
@@ -205,6 +243,8 @@ class StokesOperator:
         element matrices [C, A, A] (identical per component, Dirichlet rows/
         cols eliminated); E_up [C, dim*A, nploc] (u rows component-major):
         -int d_c phi_a psi_m; E_pu [C, nploc, dim*A]: +int psi_m d_c phi_a."""
+        assert self.dg_pressure, \
+            "Vanka patches for FE_Q pressure: not yet implemented"
         dim, k = self.dim, self.u_degree
         lap = LaplaceMassOperator(self.mesh, k, self.n_q, 0.0, self.viscosity,
                                   dtype=self.dtype)

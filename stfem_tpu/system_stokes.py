@@ -74,7 +74,7 @@ class StokesSystemMatrix:
         S = self.S
         T = self.T
         dst_u = jnp.zeros((T, S.dim) + tuple(S.dof_shape_u), self.dtype)
-        dst_p = jnp.zeros((T,) + tuple(S.cells) + (S.n_ploc,), self.dtype)
+        dst_p = jnp.zeros((T,) + tuple(S.p_shape), self.dtype)
         if self.gamma_nonzero:
             ru, rp = S.apply(prev_u[None], prev_p[None])
             gu = self.gamma[:, 0].reshape((T,) + (1,) * (ru.ndim - 1))

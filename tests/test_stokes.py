@@ -216,3 +216,34 @@ def test_cip_stabilization():
     ru_l0, _ = S0.apply(u, p)
     ru_l1, _ = S.apply(u, p)
     np.testing.assert_allclose(np.asarray(ru_l1), np.asarray(ru_l0))
+
+
+def test_taylor_hood_pressure():
+    """dGPressure=false: continuous FE_Q pressure (Taylor-Hood Q2/Q1;
+    reference tp_03stokes.cc:83-86).  Saddle skew pairing + one convergence
+    point of the manufactured problem."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.stokes import StokesOperator
+    from stfem_tpu.drivers.stokes import run_stokes_cycle
+    from stfem_tpu.types import TimeStepType
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    S = StokesOperator(mesh, 2, 1, 3, 1.0, dg_pressure=False)
+    assert S.p_shape == mesh.dof_shape(1)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((2,) + S.dof_shape_u))
+    p = jnp.asarray(rng.standard_normal(S.p_shape))
+    ru_p, _ = S.apply(jnp.zeros_like(u), p)
+    _, rp_u = S.apply(u, jnp.zeros_like(p))
+    lhs = float(jnp.sum(ru_p * u * S.mask_u))
+    rhs = float(jnp.sum(rp_u * p))
+    assert abs(lhs + rhs) < 1e-10 * max(1.0, abs(lhs))
+
+    r = run_stokes_cycle(refinement=2, fe_degree=1, type_=TimeStepType.DG,
+                         gmres_maxiter=2000, rel_tol=1e-10,
+                         dg_pressure=False)
+    assert r.l2_l2_u < 3.5e-3
+    assert r.l2_l2_p < 1.4e-2
+    assert r.l2_h1_u < 0.11
