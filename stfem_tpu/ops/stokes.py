@@ -31,7 +31,7 @@ class StokesOperator:
                  n_q: int, viscosity: float = 1.0, dtype=jnp.float64,
                  dg_pressure: bool = True, weak_faces=(), free_faces=(),
                  penalty1: float = 20.0, penalty2: float = 10.0,
-                 delta0: float = 0.0):
+                 delta0: float = 0.0, outflow_penalty: float = 0.0):
         """weak_faces: iterable of (axis, side) boundary faces with Nitsche
         weak Dirichlet conditions (reference operators.h:1658-1751); those
         faces are NOT eliminated from the velocity mask.  free_faces: faces
@@ -51,6 +51,7 @@ class StokesOperator:
         self.n_q = n_q
         self.viscosity = float(viscosity)
         self.delta0 = float(delta0)
+        self.beta = float(outflow_penalty)
         self.dtype = dtype
         self.cells = mesh.cells
         self.dof_shape_u = mesh.dof_shape(u_degree)
@@ -230,6 +231,8 @@ class StokesOperator:
             rp = rp + rp_n
         if navier and self.delta0 != 0.0:
             ru = ru + self.apply_cip(u, u_lin, self.delta0)
+        if navier and self.beta != 0.0 and self.free_faces:
+            ru = ru + self.apply_backflow(u, u_lin, self.beta)
         return ru * self.mask_u, rp
 
     def apply_flat(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -587,4 +590,34 @@ class StokesOperator:
                     addr.reshape((-1,) + mv.shape[1:]))
                 upd = jnp.moveaxis(upd, 0, L + d0)
                 ru = ru.at[(..., c) + (slice(None),) * dim].add(upd)
+        return ru * self.mask_u
+
+    # -- outflow backflow stabilization -------------------------------------
+    def apply_backflow(self, u, u_lin, beta: float):
+        """Bertoglio-Caiazzo backflow value term on do-nothing outflow faces:
+        ru_c += int_F -0.5*beta*b_c*(u.n) v_c with b the linearization
+        velocity (reference do_boundary_face_integral_local outflow branch,
+        operators.h:1680-1714; only active when nonlinear and
+        outflowPenalty != 0 -- the gradient part there is multiplied by a
+        literal 0.0 and is therefore dead)."""
+        dim = self.dim
+        b_src = u_lin if u_lin is not None else u
+        ru = jnp.zeros(u.shape, self.dtype)
+        L = u.ndim - dim - 1
+        for (d0, side) in self.free_faces:
+            fs = self._face_setup(d0, side)
+            oth = fs["oth"]
+            n_sign = -1.0 if side == 0 else 1.0
+            idx = [slice(None)] * dim
+            idx[d0] = 0 if side == 0 else -1
+
+            def plane(field, c):
+                return field[(Ellipsis, c) + tuple(idx)]
+
+            un = n_sign * self._trace_eval(plane(u, d0), oth)
+            for c in range(dim):
+                bc = self._trace_eval(plane(b_src, c), oth)
+                t = -0.5 * beta * bc * un * fs["jxw"]
+                add = self._trace_integrate(t, oth)
+                ru = ru.at[(Ellipsis, c) + tuple(idx)].add(add)
         return ru * self.mask_u

@@ -247,3 +247,32 @@ def test_taylor_hood_pressure():
     assert r.l2_l2_u < 3.5e-3
     assert r.l2_l2_p < 1.4e-2
     assert r.l2_h1_u < 0.11
+
+
+def test_backflow_stabilization():
+    """Bertoglio-Caiazzo outflow backflow term (reference operators.h:
+    1680-1714): localized to the outflow plane, only active in nonlinear
+    modes with outflowPenalty != 0."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    kw = dict(weak_faces=((0, 0), (1, 0), (1, 1)), free_faces=((0, 1),))
+    S = StokesOperator(mesh, 2, 1, 3, 1.0, outflow_penalty=1.0, **kw)
+    S0 = StokesOperator(mesh, 2, 1, 3, 1.0, **kw)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((2,) + S.dof_shape_u))
+    p = jnp.asarray(rng.standard_normal(mesh.cells + (S.n_ploc,)))
+    r = S.apply_backflow(u, u, 1.0)
+    m = np.zeros(r.shape, bool)
+    m[:, -1, :] = True
+    assert np.abs(np.asarray(r)[~m]).max() == 0.0
+    ru1, _ = S.apply(u, p, mode="form", u_lin=u)
+    ru0, _ = S0.apply(u, p, mode="form", u_lin=u)
+    assert float(jnp.abs((ru1 - ru0) - r * S.mask_u).max()) < 1e-12
+    # linear mode: inactive
+    ra, _ = S.apply(u, p)
+    rb, _ = S0.apply(u, p)
+    assert float(jnp.abs(ra - rb).max()) == 0.0
