@@ -29,8 +29,12 @@ def quad_coordinates(mesh: StructuredMesh, n_q: int) -> np.ndarray:
     dim = mesh.dim
     out = np.zeros(mesh.cells + (n_q,) * dim + (dim,))
     for d in range(dim):
-        pos = (mesh.lower[d]
-               + mesh.h[d] * (np.arange(mesh.cells[d])[:, None] + qx[None, :]))
+        if getattr(mesh, "axis_steps", None) is not None:
+            v = mesh.axis_vertices(d)
+            pos = v[:-1, None] + np.diff(v)[:, None] * qx[None, :]
+        else:
+            pos = (mesh.lower[d] + mesh.h[d]
+                   * (np.arange(mesh.cells[d])[:, None] + qx[None, :]))
         shape = [1] * (2 * dim)
         shape[d] = mesh.cells[d]
         shape[dim + d] = n_q
@@ -40,7 +44,10 @@ def quad_coordinates(mesh: StructuredMesh, n_q: int) -> np.ndarray:
 
 class SpatialEvaluator:
     """Evaluate a dof-grid field (values + physical gradients) at the tensor
-    Gauss quadrature points; Cartesian geometry."""
+    Gauss quadrature points.  Handles all three geometry paths (Cartesian,
+    non-uniform tensor steps, fully distorted trilinear cells), mirroring the
+    reference's mapped FEValues evaluation (exact_solution.h:503-649 runs on
+    any Mapping)."""
 
     def __init__(self, mesh: StructuredMesh, degree: int, n_q: int,
                  dtype=jnp.float64):
@@ -53,8 +60,23 @@ class SpatialEvaluator:
         self.D = jnp.asarray(sd.D, dtype)
         geom = mesh.geometry(n_q, degree)
         self.jxw = jnp.asarray(geom.jxw, dtype)
-        assert geom.cartesian, "error evaluation on distorted meshes: TODO"
-        self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
+        self.jinv = None
+        self.jinv_diag = None
+        self.jinv_axis = None
+        if geom.jinv is not None:          # distorted: full per-quad Jinv
+            self.jinv = jnp.asarray(geom.jinv, dtype)
+            self.coords = jnp.asarray(geom.points, dtype)
+            return
+        if geom.jinv_diag is not None:     # Cartesian (possibly masked)
+            self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
+        else:                              # non-uniform tensor steps
+            jfac = []
+            for e in range(self.dim):
+                shape = [1] * (2 * self.dim)
+                shape[e] = mesh.cells[e]
+                jfac.append(jnp.asarray(geom.jinv_axis[e],
+                                        dtype).reshape(shape))
+            self.jinv_axis = jfac
         self.coords = jnp.asarray(quad_coordinates(mesh, n_q), dtype)
 
     def values(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -64,10 +86,18 @@ class SpatialEvaluator:
     def gradients(self, u: jnp.ndarray) -> jnp.ndarray:
         """[..., *cells, *q, dim] physical gradients."""
         uc = cell_gather(u, self.mesh.cells, self.degree)
-        comps = []
+        ref = []
         for e in range(self.dim):
             mats = [self.D if d == e else self.S for d in range(self.dim)]
-            comps.append(_sumfac(mats, uc, self.dim) * self.jinv_diag[e])
+            ref.append(_sumfac(mats, uc, self.dim))
+        if self.jinv is not None:
+            # d u / d x_d = sum_e (d u / d xi_e) jinv[..., e, d]
+            g = jnp.stack(ref, axis=-1)
+            return jnp.einsum("...e,...ed->...d", g, self.jinv)
+        if self.jinv_diag is not None:
+            comps = [ref[e] * self.jinv_diag[e] for e in range(self.dim)]
+        else:
+            comps = [ref[e] * self.jinv_axis[e] for e in range(self.dim)]
         return jnp.stack(comps, axis=-1)
 
 
