@@ -368,7 +368,7 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
 
     weak_faces = ((0, 1),)   # x = x_max: the moving wall (boundary id 1)
     S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
-                       weak_faces=weak_faces, dg_pressure=dg_pressure)
+                       weak_faces=weak_faces)
     Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
                              mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(type_, fe_degree, tau,
