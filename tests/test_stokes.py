@@ -276,3 +276,19 @@ def test_backflow_stabilization():
     ra, _ = S.apply(u, p)
     rb, _ = S0.apply(u, p)
     assert float(jnp.abs(ra - rb).max()) == 0.0
+
+
+def test_stokes_multistep_consistency():
+    """n_timesteps_at_once=2 assembles both steps into one block-bidiagonal
+    slab system; discretization errors must match the sequential march to
+    roundoff (reference get_fe_time_weights multi-step assembly,
+    fe_time.h:373-402)."""
+    r1 = run_stokes_cycle(refinement=1, fe_degree=1, type_=TimeStepType.DG,
+                          n_timesteps_at_once=1, gmres_maxiter=1500,
+                          rel_tol=1e-11)
+    r2 = run_stokes_cycle(refinement=1, fe_degree=1, type_=TimeStepType.DG,
+                          n_timesteps_at_once=2, gmres_maxiter=1500,
+                          rel_tol=1e-11)
+    assert r1.l2_l2_u == pytest.approx(r2.l2_l2_u, rel=1e-9)
+    assert r1.l2_l2_p == pytest.approx(r2.l2_l2_p, rel=1e-9)
+    assert r1.l2_h1_u == pytest.approx(r2.l2_h1_u, rel=1e-9)
