@@ -1,14 +1,24 @@
 """STMG solver throughput benchmark (BASELINE.json metric):
-3D heat, Q4 space x dG(2) time, space-time multigrid preconditioned FGMRES.
+3D heat, Q4 space x dG(2) time, space-time multigrid preconditioned FGMRES
+with temporal blocking (n_timesteps_at_once=32 timesteps per slab system --
+the method's own scaling axis, and the TPU-natural one: every spatial sweep
+batches 96 time blocks, amortizing the sequential V-cycle launch chain).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is sustained space-time DoF/s per chip for full slab solves (rel. residual
-1e-8) and vs_baseline compares against the reference's >1e9 DoF/s cluster
-figure (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
+is sustained space-time DoF/s per chip for full slab solves (slab-system
+rel. residual 1e-8) and vs_baseline compares against the reference's >1e9
+DoF/s cluster figure (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
 
-Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8; 16 fits HBM and
-reaches higher DoF/s but needs a ~7 min budget for remote compile),
-STFEM_BENCH_SLABS (timed slab solves, default 16).
+On-chip measured scaling (8^3 cells, Q4 x dG(2), iterations flat at ~9.5):
+ntao 1 -> 0.9 MDoF/s, 4 -> 2.25, 8 -> 4.36, 16 -> 5.11, 32 -> 8.17.
+
+Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8), STFEM_BENCH_SLABS
+(timed slab solves, default 2), STFEM_BENCH_NTAO (timesteps per slab,
+default 32), STFEM_BENCH_STEPS (smoothing steps, default 2),
+STFEM_BENCH_BF16 (bf16 Vanka storage, default 1).
+NOTE: 16^3 + ntao>=4 currently NaNs on the axon TPU backend (converges on
+CPU at identical f32 settings) -- under investigation; 16^3 works at ntao=1
+(1.38 MDoF/s measured).
 """
 from __future__ import annotations
 
@@ -41,12 +51,16 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
-    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "16"))
-    n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "16"))
+    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "8"))
+    n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "2"))
     smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "2"))
     fe_degree = 2              # dG(2) in time
     space_degree = 4           # Q4 in space
-    n_at_once = 1
+    # temporal blocking: solve STFEM_BENCH_NTAO timesteps as ONE slab system
+    # (the method's own scaling axis; batches the time blocks through every
+    # spatial sweep, amortizing the sequential V-cycle launch chain)
+    n_at_once = int(os.environ.get("STFEM_BENCH_NTAO", "32"))
+    vanka_bf16 = os.environ.get("STFEM_BENCH_BF16", "1") == "1"
     dtype = jnp.float32
 
     refinement = int(np.log2(cells_per_axis // 2))
@@ -80,7 +94,7 @@ def main():
                          params=GMGParams(smoothing_steps=smoothing_steps,
                                           variable=False,
                                           coarse_grid_smoother_type="GMRES",
-                                          vanka_bf16=True))
+                                          vanka_bf16=vanka_bf16))
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)
@@ -92,11 +106,14 @@ def main():
     from stfem_tpu.time.tables import get_time_quad
     tq = get_time_quad(TimeStepType.DG, fe_degree)[0]
 
+    nt = len(tq)
+
     def solve_slab(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
         rhs = rhs_matrix_.vmult(prev_x[None])
-        # force at the three Radau points of the step (diagonal-Alpha rule)
-        parts = [force_(t + tau * float(q)) * float(Alpha[j, j])
-                 for j, q in enumerate(tq)]
+        # force at the Radau points of each blocked step (diagonal-Alpha
+        # rule; the multi-step Alpha is block-diagonal with repeated blocks)
+        parts = [force_(t + tau * (row // nt) + tau * float(tq[row % nt]))
+                 * float(Alpha[row, row]) for row in range(n_blocks)]
         rhs = rhs + jnp.stack(parts)
         x0 = jnp.broadcast_to(prev_x, shape)
         res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
@@ -112,7 +129,8 @@ def main():
             prev, t = carry
             x, iters, resid, conv = solve_slab(matrix_, rhs_matrix_, gmg_,
                                                force_, prev, t)
-            return (x[-1], t + np.float32(tau)), (iters, resid, conv)
+            return (x[-1], t + np.float32(tau * n_at_once)), \
+                (iters, resid, conv)
         (last, _), (iters, resid, conv) = jax.lax.scan(
             step, (prev_x, t0_), jnp.arange(n))
         return last, iters, resid, conv
