@@ -10,7 +10,8 @@ rel. residual 1e-8) and vs_baseline compares against the reference's >1e9
 DoF/s cluster figure (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
 
 On-chip measured scaling (8^3 cells, Q4 x dG(2), iterations flat at ~9.5):
-ntao 1 -> 0.9 MDoF/s, 4 -> 2.25, 8 -> 4.36, 16 -> 5.11, 32 -> 8.17.
+ntao 1 -> 0.9 MDoF/s, 4 -> 2.25, 8 -> 4.36, 16 -> 5.11, 32 -> 8.17,
+64 -> 5.31 (past the sweet spot; setup also balloons).
 
 Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8), STFEM_BENCH_SLABS
 (timed slab solves, default 2), STFEM_BENCH_NTAO (timesteps per slab,
