@@ -17,9 +17,10 @@ Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8), STFEM_BENCH_SLABS
 (timed slab solves, default 2), STFEM_BENCH_NTAO (timesteps per slab,
 default 32), STFEM_BENCH_STEPS (smoothing steps, default 2),
 STFEM_BENCH_BF16 (bf16 Vanka storage, default 1).
-NOTE: 16^3 + ntao>=4 currently NaNs on the axon TPU backend (converges on
-CPU at identical f32 settings) -- under investigation; 16^3 works at ntao=1
-(1.38 MDoF/s measured).
+NOTE: 16^3 + ntao>=4 NaNs with bf16 Vanka storage on TPU (root-caused:
+STFEM_BENCH_BF16=0 converges there, 20.5 iters, 0.65 MDoF/s); the 16^3
+ntao=1 bf16 config is fine (1.38 MDoF/s measured).  Round-2 fix: per-patch
+scale-normalized bf16 factors or f32 on the finest level only.
 """
 from __future__ import annotations
 
