@@ -260,7 +260,8 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
         else:
             vanka = PreconditionVanka(
                 K, M, Alpha_l, Beta_l, dtype=dtype,
-                storage_dtype=jnp.bfloat16 if params.vanka_bf16 else None)
+                storage_dtype=jnp.bfloat16 if params.vanka_bf16 else None,
+                n_steps=n_at_once[l])
             if params.relaxation == 0.0 or \
                     precond_seq[l] == SupportedSmoothers.Chebyshev:
                 if np.sum(K.mask_np) == 0:

@@ -103,11 +103,23 @@ class PreconditionVanka:
         Valence row scaling commutes: (D B)^{-1} = B^{-1} D^{-1} with the
         diagonal D applied to the gathered residual.
       * mode="dense": the reference-style dense batched inverse.
+
+    Multi-step (n_timesteps_at_once > 1) fastdiag refinement: the slab tables
+    are block-bidiagonal with IDENTICAL per-step blocks and a RANK-1 coupling
+    (only the previous step's last time dof enters, fe_time.h:381-402), so
+        (lam Alpha + Beta) x = r
+    decouples into per-step solves  x_s = G^{-1} r_s + x_{s-1}[last] c  with
+    G = lam a + b (nt x nt), c = G^{-1}(lam g + z), and the scalar recurrence
+        x_s[last] = (G^{-1} r_s)[last] + kappa x_{s-1}[last],  kappa = c[last]
+    evaluated by an O(log S) associative scan.  Storage drops from
+    C*A*(S*nt)^2 to C*A*nt^2 (S^2 x less) and the per-apply flops by S x; the
+    tiny per-step factors always stay in the working dtype, which also
+    removes the bf16 dynamic-range failure observed for big T x T inverses.
     """
 
     def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
                  Alpha, Beta, dtype=None, mode: str = "fastdiag",
-                 storage_dtype=None):
+                 storage_dtype=None, n_steps: int = 1):
         """storage_dtype (e.g. jnp.bfloat16) stores the patch factors at
         reduced precision -- measured to cost ZERO extra FGMRES iterations
         while halving smoother memory/bandwidth (compute stays f32 through
@@ -123,6 +135,32 @@ class PreconditionVanka:
         self.n_blocks = Alpha.shape[0]
 
         self.mode = mode
+        # detect the block-bidiagonal rank-1 multi-step structure (see class
+        # docstring); falls back to the dense T x T eigen-solve when absent
+        # (e.g. the wave tables' lower-triangular cross-step coupling)
+        self.n_steps = 1
+        a_nt = b_nt = g_nt = z_nt = None
+        if mode == "fastdiag" and n_steps > 1 \
+                and self.n_blocks % n_steps == 0:
+            nt = self.n_blocks // n_steps
+            a_nt = Alpha[:nt, :nt]
+            b_nt = Beta[:nt, :nt]
+            g_nt = -Alpha[nt:2 * nt, nt - 1]
+            z_nt = -Beta[nt:2 * nt, nt - 1]
+            A_rec = np.zeros_like(Alpha)
+            B_rec = np.zeros_like(Beta)
+            for s in range(n_steps):
+                sl = slice(s * nt, (s + 1) * nt)
+                A_rec[sl, sl] = a_nt
+                B_rec[sl, sl] = b_nt
+                if s + 1 < n_steps:
+                    nsl = slice((s + 1) * nt, (s + 2) * nt)
+                    A_rec[nsl, s * nt + nt - 1] = -g_nt
+                    B_rec[nsl, s * nt + nt - 1] = -z_nt
+            if np.array_equal(A_rec, Alpha) and np.array_equal(B_rec, Beta):
+                self.n_steps = n_steps
+            else:
+                a_nt = None
         from ..utils.native import band_indices
         flat_idx = np.ascontiguousarray(band_indices(self.cells, self.k))
         val = dof_valence(self.cells, self.k)
@@ -149,7 +187,7 @@ class PreconditionVanka:
             B = B + jax.vmap(jnp.diag)(zero_rows)
             return jnp.linalg.inv(B)
 
-        def build_fastdiag(K_op_, M_op_, fidx, vloc, A__, B__):
+        def _eigenbasis(K_op_, M_op_, fidx):
             Kp = _band_flat(K_op_, fidx)[fidx].astype(dtype)
             Mp = _band_flat(M_op_, fidx)[fidx].astype(dtype)
             # generalized symmetric-definite eigenproblem per patch:
@@ -163,6 +201,10 @@ class PreconditionVanka:
             Cmat = 0.5 * (Cmat + jnp.swapaxes(Cmat, 1, 2))
             lam, Q = jnp.linalg.eigh(Cmat)
             V = jnp.einsum("cba,cbq->caq", Linv, Q)  # L^{-T} Q
+            return lam, V
+
+        def build_fastdiag(K_op_, M_op_, fidx, vloc, A__, B__):
+            lam, V = _eigenbasis(K_op_, M_op_, fidx)
             # per-eigenvalue T x T inverses of (lam_i Alpha + Beta)
             TT = (lam[:, :, None, None] * A__[None, None]
                   + B__[None, None])
@@ -170,10 +212,34 @@ class PreconditionVanka:
             dinv = 1.0 / jnp.tile(vloc, (1, n_blocks))  # (C, T*A)
             return V, TTinv, dinv
 
+        def build_fastdiag_scan(K_op_, M_op_, fidx, vloc, a__, b__, g__, z__):
+            lam, V = _eigenbasis(K_op_, M_op_, fidx)
+            # per-step nt x nt inverses + rank-1 coupling vector
+            G = lam[:, :, None, None] * a__[None, None] + b__[None, None]
+            Ginv = jnp.linalg.inv(G)                   # (C, A, nt, nt)
+            gz = lam[:, :, None] * g__[None, None] + z__[None, None]
+            cvec = jnp.einsum("cqij,cqj->cqi", Ginv, gz)  # (C, A, nt)
+            dinv = 1.0 / jnp.tile(vloc, (1, n_blocks))  # (C, T*A)
+            return V, Ginv, cvec, dinv
+
         C = int(np.prod(cells))
         A = (k + 1) ** self.dim
         vloc = cell_gather(jnp.asarray(val, dtype), cells, k).reshape(C, A)
-        if mode == "fastdiag":
+        self.Ginv = self.cvec = None
+        if mode == "fastdiag" and self.n_steps > 1:
+            self.V, self.Ginv, self.cvec, self.dinv = \
+                jax.jit(build_fastdiag_scan)(
+                    K_op, M_op, jnp.asarray(flat_idx), vloc,
+                    jnp.asarray(a_nt, self.dtype), jnp.asarray(b_nt, self.dtype),
+                    jnp.asarray(g_nt, self.dtype), jnp.asarray(z_nt, self.dtype))
+            self.TTinv = None
+            self.Binv = None
+            if storage_dtype is not None:
+                # only V (the big factor) is stored reduced; the per-step
+                # factors are tiny and precision-critical for the recurrence
+                self.V = self.V.astype(storage_dtype)
+                self.dinv = self.dinv.astype(storage_dtype)
+        elif mode == "fastdiag":
             self.V, self.TTinv, self.dinv = jax.jit(build_fastdiag)(
                 K_op, M_op, jnp.asarray(flat_idx), vloc, A_, B_)
             self.Binv = None
@@ -205,7 +271,29 @@ class PreconditionVanka:
             r = r.reshape(nb, C, A).transpose(1, 0, 2)       # [C, nb, A]
             r = r * self.dinv.reshape(C, nb, A)              # D^{-1}
             w = jnp.einsum("caq,cta->ctq", self.V, r)        # V^T r
-            w = jnp.einsum("cqts,csq->ctq", self.TTinv, w)   # per-eig T x T
+            if self.Ginv is not None:
+                # block-bidiagonal solve: per-step G^{-1} + O(log S) scalar
+                # recurrence for the step-coupling (see class docstring)
+                S, nt = self.n_steps, nb // self.n_steps
+                w = w.reshape(C, S, nt, A)
+                y = jnp.einsum("cqij,csjq->csiq", self.Ginv, w)
+                u = y[:, :, -1, :]                           # (C, S, q)
+                kap = jnp.broadcast_to(self.cvec[:, :, -1][:, None, :],
+                                       u.shape)
+
+                def comb(first, second):
+                    a1, b1 = first
+                    a2, b2 = second
+                    return a2 * a1, a2 * b1 + b2
+
+                _, last = jax.lax.associative_scan(comb, (kap, u), axis=1)
+                a_prev = jnp.concatenate(
+                    [jnp.zeros_like(last[:, :1]), last[:, :-1]], axis=1)
+                w = y + a_prev[:, :, None, :] \
+                    * jnp.swapaxes(self.cvec, 1, 2)[:, None]
+                w = w.reshape(C, nb, A)
+            else:
+                w = jnp.einsum("cqts,csq->ctq", self.TTinv, w)  # per-eig TxT
             y = jnp.einsum("caq,ctq->cta", self.V, w)        # V back
             y = y.transpose(1, 0, 2)
         y = y.reshape((nb,) + tuple(self.cells) + (self.k + 1,) * self.dim)

@@ -45,3 +45,51 @@ def test_heat_cgp_stmg():
         gmres_maxiter=40)
     assert res.avg_iterations <= 14
     assert res.converged if hasattr(res, "converged") else True
+
+
+def test_vanka_fastdiag_scan_equals_dense():
+    """Multi-step fastdiag (block-bidiagonal per-step solve + associative-scan
+    coupling) must agree with the reference-style dense patch inverse to
+    machine precision, for DG and CGP tables; the wave tables (full
+    lower-triangular cross-step coupling) must fall back to the dense
+    T x T eigen-path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.stmg.vanka import PreconditionVanka
+    from stfem_tpu.time.tables import (get_fe_time_weights,
+                                       get_fe_time_weights_wave)
+
+    mesh = StructuredMesh([3, 3], [0.0, 0.0], [1.0, 1.0], refinement=1)
+    K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0)
+    M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0)
+    rng = np.random.default_rng(7)
+    for type_, r in [(TimeStepType.DG, 1), (TimeStepType.CGP, 2)]:
+        A, B, _, _ = get_fe_time_weights(type_, r, 0.125, 4)
+        v_scan = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
+        assert v_scan.n_steps == 4 and v_scan.Ginv is not None
+        v_dense = PreconditionVanka(K, M, A, B, mode="dense")
+        src = jnp.asarray(rng.standard_normal((A.shape[0],)
+                                              + mesh.dof_shape(2)))
+        np.testing.assert_allclose(np.asarray(v_scan.vmult(src)),
+                                   np.asarray(v_dense.vmult(src)),
+                                   rtol=1e-9, atol=1e-11)
+        # single-step fastdiag path unchanged
+        v_fd = PreconditionVanka(K, M, A, B, mode="fastdiag")
+        np.testing.assert_allclose(np.asarray(v_fd.vmult(src)),
+                                   np.asarray(v_dense.vmult(src)),
+                                   rtol=1e-9, atol=1e-11)
+
+    # wave tables: cross-step coupling is NOT rank-1 bidiagonal -> fallback
+    A, B, G, Z = get_fe_time_weights(TimeStepType.DG, 1, 0.125, 1)
+    Aw, Bw = get_fe_time_weights_wave(TimeStepType.DG, A, B, G, Z, 4)[:2]
+    v_wave = PreconditionVanka(K, M, Aw, Bw, mode="fastdiag", n_steps=4)
+    assert v_wave.n_steps == 1 and v_wave.TTinv is not None
+    v_wave_dense = PreconditionVanka(K, M, Aw, Bw, mode="dense")
+    src = jnp.asarray(rng.standard_normal((Aw.shape[0],)
+                                          + mesh.dof_shape(2)))
+    np.testing.assert_allclose(np.asarray(v_wave.vmult(src)),
+                               np.asarray(v_wave_dense.vmult(src)),
+                               rtol=1e-9, atol=1e-11)
