@@ -608,7 +608,8 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
         l2_h1_p=float(np.sqrt(h1p)))
 
 
-def dfg_square_mesh(refinement: int = 1, dim: int = 2):
+def dfg_square_mesh(refinement: int = 1, dim: int = 2,
+                    vertex_map=None, map_exact: bool = False):
     """The dfgBenchmarkSquare channel: non-uniform tensor subdivision with
     the cell column around the obstacle removed (reference grids.h:243-323;
     2D: [0,2.2]x[0,0.41], obstacle at (0.2,0.2); 3D: [0,2.5]x[0,0.41]^2,
@@ -634,7 +635,59 @@ def dfg_square_mesh(refinement: int = 1, dim: int = 2):
     for d in range(dim):
         cm = np.repeat(cm, r, axis=d)
     return StructuredMesh([1] * dim, lower, None, refinement=refinement,
-                          cell_mask=cm, axis_steps=steps)
+                          cell_mask=cm, axis_steps=steps,
+                          vertex_map=vertex_map, map_exact=map_exact)
+
+
+def dfg_cylinder_map(center, half_width: float = 0.05,
+                     radius: float = 0.05, support: float = 0.14):
+    """Smooth compactly-supported morph (x,y)->(x,y) that carries the square
+    obstacle boundary {max(|x-cx|,|y-cy|) = half_width} exactly onto the
+    circle of the given radius, decaying to the identity at distance
+    `support` from the obstacle center.  The TPU-native analogue of the
+    reference's dfgBenchmark curved manifolds (grids.h:196-242): instead of
+    attaching a CylindricalManifold to a multiblock grid we morph the masked
+    tensor grid, keeping the pure-arithmetic DoF indexing.
+
+    Acts on the leading two coordinates; extra coordinates (the 3D channel's
+    z axis along the cylinder) pass through unchanged.  jax-traceable, so
+    map_exact geometry can take analytic Jacobians through it."""
+    import jax.numpy as jnp
+    cx, cy = center
+
+    def fmap(x):
+        dx = x[..., 0] - cx
+        dy = x[..., 1] - cy
+        r2 = dx * dx + dy * dy
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        m = jnp.maximum(jnp.abs(dx), jnp.abs(dy))
+        # distance along the ray to the square obstacle boundary
+        r_sq = half_width * r / jnp.maximum(m, 1e-30)
+        un = jnp.clip((r - r_sq) / (support - r_sq), 0.0, 1.0)
+        w = 1.0 - un * un * (3.0 - 2.0 * un)   # smoothstep decay
+        s = 1.0 + w * (radius - r_sq) / r
+        # inside the obstacle (r < r_sq) keep the pure radial rescale so the
+        # removed cells deform consistently with their boundary
+        s_in = radius / jnp.maximum(r_sq, 1e-30)
+        s = jnp.where(r < r_sq, s_in, s)
+        out = [cx + dx * s, cy + dy * s]
+        for d in range(2, x.shape[-1]):
+            out.append(x[..., d])
+        return jnp.stack(out, axis=-1)
+
+    return fmap
+
+
+def dfg_cylinder_mesh(refinement: int = 1, dim: int = 2,
+                      map_exact: bool = True):
+    """The DFG cylinder channel (reference gridDescriptor dfgBenchmark,
+    grids.h:196-242): the dfgBenchmarkSquare masked tensor grid morphed so
+    the obstacle boundary is the cylinder of diameter 0.1 at (0.2,0.2)
+    (2D; at x,y = (0.5,0.2) through z in 3D)."""
+    center = (0.2, 0.2) if dim == 2 else (0.5, 0.2)
+    fmap = dfg_cylinder_map(center)
+    return dfg_square_mesh(refinement, dim, vertex_map=fmap,
+                           map_exact=map_exact)
 
 
 def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
@@ -643,11 +696,16 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
                    dfg_benchmark: int = 3, end_time: float = 8.0,
                    tau: float = 1.0 / 16.0, n_slabs: int = 4,
                    preconditioner_factory=None, gmres_maxiter: int = 100,
-                   rel_tol: float = 1e-8):
-    """Flow around the square obstacle (DFG 2D benchmark on the
-    dfgBenchmarkSquare grid, reference tests/tp_03stokes.cc + stokes_dfg.json):
-    weak (Nitsche) inflow with the DFG parabolic profile, weak no-slip walls,
-    do-nothing outflow, strong no-slip obstacle via the cell mask.
+                   rel_tol: float = 1e-8, cylinder: bool = False):
+    """Flow around the obstacle (DFG 2D benchmark, reference
+    tests/tp_03stokes.cc + stokes_dfg.json): weak (Nitsche) inflow with the
+    DFG parabolic profile, weak no-slip walls, do-nothing outflow, strong
+    no-slip obstacle via the cell mask.
+
+    cylinder=False: the dfgBenchmarkSquare grid (square obstacle);
+    cylinder=True: the dfgBenchmark grid (curved cylinder of diameter 0.1
+    via the exact-geometry squircle morph, drag/lift on the curved
+    boundary).
 
     Returns per-slab iterations and final fields.  Deviation from the
     reference: the obstacle no-slip is imposed strongly (mask) rather than
@@ -659,7 +717,8 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
     p_degree = fe_degree
     n_q = u_degree + 1
     nt = fe_degree if is_cgp else fe_degree + 1
-    mesh = dfg_square_mesh(refinement)
+    mesh = dfg_cylinder_mesh(refinement) if cylinder \
+        else dfg_square_mesh(refinement)
     T = nt
     u_max = u_mean * 1.5   # 2D (reference stokes.h:41)
 

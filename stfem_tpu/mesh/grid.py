@@ -49,11 +49,24 @@ class StructuredMesh:
 
     def __init__(self, subdivisions, lower, upper, refinement: int = 0,
                  distort: float = 0.0, distort_seed: int = 42,
-                 cell_mask=None, axis_steps=None):
+                 cell_mask=None, axis_steps=None, vertex_map=None,
+                 map_exact: bool = False):
         """axis_steps: optional per-axis lists of step widths (non-uniform
         tensor grid, e.g. the dfgBenchmarkSquare channel subdivision,
         reference grids.h:246-254); refinement splits each step into 2^r
-        equal parts.  subdivisions/lower/upper are derived when given."""
+        equal parts.  subdivisions/lower/upper are derived when given.
+
+        vertex_map: optional smooth map applied to the vertex grid
+        ((..., dim) -> (..., dim)), e.g. the squircle morph that turns the
+        dfgBenchmarkSquare obstacle into the DFG cylinder (the TPU-native
+        analogue of the reference's curved manifolds, grids.h:196-242);
+        geometry then uses the general per-cell Q1-mapping path.
+
+        map_exact: evaluate geometry (quad points, Jacobians) ANALYTICALLY
+        from vertex_map via jax.jacfwd instead of the Q1 vertex
+        interpolation -- the curved boundary is then represented exactly
+        (stronger than the reference's polynomial MappingQ manifolds);
+        vertex_map must be jax-traceable on (..., dim) arrays."""
         if axis_steps is not None:
             subdivisions = [len(st) for st in axis_steps]
             upper = [float(lo + np.sum(st))
@@ -82,15 +95,37 @@ class StructuredMesh:
             assert self.cell_mask.shape == self.cells
         if distort != 0.0:
             self._vertices = self._distorted_vertices(distort, distort_seed)
+        self.vertex_map = vertex_map
+        self.map_exact = bool(map_exact)
+        if vertex_map is not None:
+            base = self._vertices if self._vertices is not None \
+                else self.vertex_grid()
+            self._vertices = np.asarray(vertex_map(base), dtype=np.float64)
 
     def coarsened(self) -> "StructuredMesh":
         """One level coarser mesh; for distorted meshes the coarse vertices
         are the even-strided fine vertices (matching deal.II's geometric
         coarsening sequence of a distorted fine triangulation)."""
         assert self.refinement > 0
+        cm = None
+        if self.cell_mask is not None:
+            # coarse cell active iff all its children are (masks originate
+            # at the base level, so any pooling choice agrees)
+            cm = self.cell_mask
+            for d in range(self.dim):
+                shape = (cm.shape[:d] + (cm.shape[d] // 2, 2)
+                         + cm.shape[d + 1:])
+                cm = cm.reshape(shape).min(axis=d + 1)
+        steps = None
+        if self.axis_steps is not None:
+            steps = [np.asarray(st).reshape(-1, 2 ** self.refinement)[:, 0]
+                     * 2 ** self.refinement for st in self.axis_steps]
         m = StructuredMesh(self.subdivisions, self.lower, self.upper,
-                           refinement=self.refinement - 1, distort=0.0)
-        if self._vertices is not None:
+                           refinement=self.refinement - 1, distort=0.0,
+                           cell_mask=cm, axis_steps=steps,
+                           vertex_map=self.vertex_map,
+                           map_exact=self.map_exact)
+        if self._vertices is not None and self.vertex_map is None:
             m._vertices = self._vertices[
                 tuple(slice(None, None, 2) for _ in range(self.dim))]
             m.distort = self.distort
@@ -154,7 +189,17 @@ class StructuredMesh:
         """Geometry factors at the tensor Gauss rule with n_q_per_axis points.
 
         degree_for_quad only selects the cached 1D shape data for quad points.
+        Results are memoized per quadrature rule (operators constructed under
+        jit tracing must not re-stage the setup-time numpy/jax work).
         """
+        cache = self.__dict__.setdefault("_geometry_cache", {})
+        if n_q_per_axis in cache:
+            return cache[n_q_per_axis]
+        g = self._geometry(n_q_per_axis)
+        cache[n_q_per_axis] = g
+        return g
+
+    def _geometry(self, n_q_per_axis: int) -> Geometry:
         sd = shape_data_1d(1, n_q_per_axis)  # Q1 geometry mapping shapes
         qx, qw = sd.quad_x, sd.quad_w
         qshape = (n_q_per_axis,) * self.dim
@@ -163,6 +208,9 @@ class StructuredMesh:
             shape = [1] * self.dim
             shape[d] = n_q_per_axis
             w_tensor = w_tensor * qw.reshape(shape)
+
+        if self.vertex_map is not None and self.map_exact:
+            return self._geometry_exact_map(n_q_per_axis, qx, w_tensor)
 
         if self._vertices is None and self.axis_steps is not None:
             # non-uniform tensor grid: separable per-cell diagonal Jacobian
@@ -218,6 +266,16 @@ class StructuredMesh:
                       dN.reshape(n_corners, -1, dim))
         # J has shape (*cells, prod(q), dim, dim)
         detJ = np.linalg.det(J)
+        if self.cell_mask is not None:
+            # removed cells: zero quadrature weight, identity Jacobian (keeps
+            # the inverse well-defined; their contributions vanish via jxw)
+            inactive = (self.cell_mask == 0.0).reshape(-1)
+            flatJ = J.reshape(-1, J.shape[-3], self.dim, self.dim)
+            flatJ[inactive] = np.eye(self.dim)
+            J = flatJ.reshape(J.shape)
+            detJ = np.linalg.det(J)
+            detJ = (detJ.reshape(self.n_cells, -1)
+                    * self.cell_mask.reshape(-1, 1)).reshape(J.shape[:-2])
         Jinv = np.linalg.inv(J)  # [..., dxi, dx] since inv of [dx, dxi]
         jxw = detJ * w_tensor.reshape(-1)
         jxw = jxw.reshape(*self.cells, *qshape)
@@ -226,6 +284,70 @@ class StructuredMesh:
                         N.reshape(n_corners, -1))
         pts = pts.reshape(*self.cells, *qshape, dim)
         return Geometry(cartesian=False, jxw=jxw, jinv=jinv, points=pts)
+
+    def _axis_steps_arrays(self):
+        """Per-axis per-cell step widths (after refinement)."""
+        if self.axis_steps is not None:
+            return [np.asarray(st) for st in self.axis_steps]
+        return [np.full(self.cells[d], self.h[d]) for d in range(self.dim)]
+
+    def _base_quad_points(self, n_q_per_axis: int, qx) -> np.ndarray:
+        """Pre-map (tensor-grid) quadrature coordinates, (*cells, *q, dim)."""
+        dim = self.dim
+        steps = self._axis_steps_arrays()
+        pts = np.zeros(self.cells + (n_q_per_axis,) * dim + (dim,))
+        for d in range(dim):
+            starts = self.axis_vertices(d)[:-1]
+            pos = starts[:, None] + steps[d][:, None] * qx[None, :]
+            shape = [1] * (2 * dim)
+            shape[d] = self.cells[d]
+            shape[dim + d] = n_q_per_axis
+            pts[..., d] = pos.reshape(shape)
+        return pts
+
+    def _geometry_exact_map(self, n_q_per_axis: int, qx,
+                            w_tensor) -> Geometry:
+        """Analytic geometry for vertex-mapped meshes: quad points, Jacobians
+        and measures from jacfwd of the map composed with the (possibly
+        non-uniform) tensor base grid.  Exact curved boundaries -- stronger
+        than the reference's polynomial MappingQ manifolds (grids.h:196-242).
+        """
+        import jax
+        import jax.numpy as jnp
+        assert self.distort == 0.0, "map_exact with distortion: unsupported"
+        dim = self.dim
+        qshape = (n_q_per_axis,) * dim
+        pts_base = self._base_quad_points(n_q_per_axis, qx)
+        fmap = self.vertex_map
+        with jax.ensure_compile_time_eval():
+            flat = jnp.asarray(pts_base.reshape(-1, dim))
+            pts = np.asarray(jax.vmap(fmap)(flat), dtype=np.float64)
+            Jm = np.asarray(jax.vmap(jax.jacfwd(fmap))(flat),
+                            dtype=np.float64)       # (N, dx, d_base)
+        steps = self._axis_steps_arrays()
+        stepvec = np.ones(self.cells + (dim,))
+        for d in range(dim):
+            shape = [1] * (dim + 1)
+            shape[d] = self.cells[d]
+            stepvec[..., d] = steps[d].reshape(shape[:-1])
+        # chain rule with the diagonal base-grid Jacobian: dxi_d -> step_d
+        J = (Jm.reshape(self.cells + qshape + (dim, dim))
+             * stepvec.reshape(self.cells + (1,) * dim + (1, dim)))
+        detJ = np.linalg.det(J)
+        if self.cell_mask is not None:
+            inactive = (self.cell_mask == 0.0)
+            J[inactive] = np.eye(dim)
+            detJ = np.linalg.det(J) * self.cell_mask.reshape(
+                self.cells + (1,) * dim)
+            active_min = detJ[~inactive].min() if (~inactive).any() else 1.0
+        else:
+            active_min = detJ.min()
+        assert active_min > 0.0, \
+            f"vertex_map folds cells (min detJ {active_min:.3e})"
+        Jinv = np.linalg.inv(J)                      # [..., dxi, dx]
+        jxw = detJ * w_tensor
+        return Geometry(cartesian=False, jxw=jxw, jinv=Jinv,
+                        points=pts.reshape(self.cells + qshape + (dim,)))
 
     def boundary_dof_mask(self, degree: int) -> np.ndarray:
         """1.0 for interior (free) dofs, 0.0 on the domain boundary
@@ -255,7 +377,8 @@ class StructuredMesh:
         reference GLL pattern (matches deal.II's MappingQ1 node placement).
         """
         from .fe import q_nodes_1d
-        if self._vertices is None:
+        if self._vertices is None or (self.vertex_map is not None
+                                      and self.map_exact):
             axes = []
             nodes = np.array(q_nodes_1d(degree))
             for d in range(self.dim):
@@ -265,7 +388,11 @@ class StructuredMesh:
                 axes.append(np.concatenate([pos[:, :-1].reshape(-1),
                                             [self.upper[d]]]))
             mesh = np.meshgrid(*axes, indexing="ij")
-            return np.stack(mesh, axis=-1)
+            base = np.stack(mesh, axis=-1)
+            if self.vertex_map is not None and self.map_exact:
+                # exact node placement on the curved geometry
+                return np.asarray(self.vertex_map(base), dtype=np.float64)
+            return base
         # distorted: multilinear interp of vertices at node pattern
         nodes = np.array(q_nodes_1d(degree))
         dim = self.dim

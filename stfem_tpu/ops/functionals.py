@@ -37,8 +37,13 @@ def obstacle_faces(mesh):
 
 def compute_drag_lift(S: StokesOperator, u, p, scale: float) -> np.ndarray:
     """F = scale * sum over obstacle faces of int [p n - nu (grad u +
-    grad u^T) n];  n = outward from the fluid (into the obstacle)."""
+    grad u^T) n];  n = outward from the fluid (into the obstacle).
+
+    Dispatches to the curved-geometry path for vertex-mapped meshes
+    (DFG cylinder); reference compute_drag_lift operators.h:1344-1389."""
     mesh = S.mesh
+    if getattr(mesh, "vertex_map", None) is not None:
+        return compute_drag_lift_mapped(S, u, p, scale)
     dim, k = S.dim, S.u_degree
     nu = S.viscosity
     from ..mesh.fe_dgp import dgp_exponents, shifted_legendre_value
@@ -102,6 +107,97 @@ def compute_drag_lift(S: StokesOperator, u, p, scale: float) -> np.ndarray:
     return scale * F
 
 
+def compute_drag_lift_mapped(S: StokesOperator, u, p,
+                             scale: float) -> np.ndarray:
+    """Drag/lift over the CURVED obstacle boundary of a vertex-mapped mesh
+    (DFG cylinder): base-grid face quadrature pushed through the analytic
+    map; the weighted outward normal comes from Nanson's formula
+    n ds = detJ J^{-T} n_ref dxi."""
+    import jax
+    import jax.numpy as jnp
+    mesh = S.mesh
+    dim, k = S.dim, S.u_degree
+    nu = S.viscosity
+    from ..mesh.fe_dgp import dgp_exponents, shifted_legendre_value
+    basis = LagrangeBasis(np.asarray(q_nodes_1d(k)))
+    qx, qw = gauss(S.n_q)
+    sd = shape_data_1d(k, S.n_q)
+    S1 = np.asarray(sd.S)
+    D1 = np.asarray(sd.D)
+    fmap = mesh.vertex_map
+    jac_at = jax.vmap(jax.jacfwd(fmap))
+    steps = mesh._axis_steps_arrays()
+    starts = [mesh.axis_vertices(d)[:-1] for d in range(dim)]
+    F = np.zeros(dim)
+    u_np = np.asarray(u)
+    p_np = np.asarray(p)
+    nq_face = S.n_q ** (dim - 1)
+    for (d0, cidx, side) in obstacle_faces(mesh):
+        edge_x = 1.0 if side == 1 else 0.0
+        n_sign = 1.0 if side == 1 else -1.0
+        oth = [d for d in range(dim) if d != d0]
+        D1e = basis.deriv_matrix(np.array([edge_x]))[0]
+        V1e = basis.eval_matrix(np.array([edge_x]))[0]
+        sl = tuple(slice(cidx[d] * k, cidx[d] * k + k + 1)
+                   for d in range(dim))
+        hs = [float(steps[d][cidx[d]]) for d in range(dim)]
+        # base coordinates of the face quadrature points
+        axes_pos = []
+        for d in range(dim):
+            if d == d0:
+                axes_pos.append(np.array(
+                    [starts[d][cidx[d]] + hs[d] * edge_x]))
+            else:
+                axes_pos.append(starts[d][cidx[d]] + hs[d] * qx)
+        grid = np.meshgrid(*axes_pos, indexing="ij")
+        pts_base = np.stack(grid, axis=-1).reshape(nq_face, dim)
+        Jm = np.asarray(jac_at(jnp.asarray(pts_base)))   # (Q, dx, dbase)
+        J = Jm * np.asarray(hs)[None, None, :]           # chain: dxi -> dx
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)                          # (Q, dxi, dx)
+        # weighted outward normal (Nanson): n ds = n_sign detJ Jinv[d0,:] dxi
+        wn = n_sign * detJ[:, None] * Jinv[:, d0, :]     # (Q, dim)
+        # reference gradients of u at the face points -> physical via Jinv
+        gphys = np.zeros((dim, dim, nq_face))            # [c, d, q]
+        for c in range(dim):
+            loc = u_np[c][sl]
+            ghat = np.zeros((dim, nq_face))
+            for e in range(dim):
+                vec = D1e if e == d0 else V1e
+                arr = np.tensordot(vec, loc, axes=(0, d0))
+                for i, d in enumerate(oth):
+                    m = D1 if d == e else S1
+                    arr = np.moveaxis(
+                        np.tensordot(m, arr, axes=(1, i)), 0, i)
+                ghat[e] = arr.reshape(-1)
+            gphys[c] = np.einsum("eq,qed->dq", ghat, Jinv).reshape(
+                dim, nq_face)
+        # pressure trace (modal DGP on the base reference cell)
+        exps = dgp_exponents(dim, S.p_degree)
+        Pq = np.ones((len(exps), nq_face))
+        for m_, e_ in enumerate(exps):
+            col = np.ones((S.n_q,) * (dim - 1))
+            for i, d in enumerate(oth):
+                shp = [1] * (dim - 1)
+                shp[i] = S.n_q
+                col = col * shifted_legendre_value(e_[d], qx).reshape(shp)
+            Pq[m_] = (shifted_legendre_value(e_[d0],
+                                             np.array([edge_x]))[0]
+                      * col.reshape(-1))
+        pq = np.tensordot(p_np[cidx], Pq, axes=(0, 0))   # (Q,)
+        wq = np.ones((S.n_q,) * (dim - 1))
+        for i in range(dim - 1):
+            shp = [1] * (dim - 1)
+            shp[i] = S.n_q
+            wq = wq * qw.reshape(shp)
+        wq = wq.reshape(nq_face)
+        for c in range(dim):
+            tau_c = pq * wn[:, c] - nu * sum(
+                (gphys[c][d] + gphys[d][c]) * wn[:, d] for d in range(dim))
+            F[c] += float(np.sum(wq * tau_c))
+    return scale * F
+
+
 def compute_divergence_norm(S: StokesOperator, u) -> float:
     """sqrt(int_Omega (div u)^2) over active cells
     (reference operators.h:1391-1439)."""
@@ -109,7 +205,6 @@ def compute_divergence_norm(S: StokesOperator, u) -> float:
     div_q = 0.0
     for c in range(dim):
         uc = cell_gather(u[c] * S.mask_u, S.cells, k)
-        mats = [S.D if d == c else S.S for d in range(dim)]
-        div_q = div_q + _sumfac(mats, uc, dim) * S.jfac[c]
+        div_q = div_q + S._grad_phys(uc)[c]
     val = jnp.sum(S.jxw * div_q ** 2)
     return float(jnp.sqrt(val))

@@ -77,9 +77,39 @@ class StokesOperator:
         self.D = jnp.asarray(sd.D, dtype)
         self._sd = sd
         geom = mesh.geometry(n_q, u_degree)
-        assert geom.jinv is None, "Stokes on distorted meshes: TODO"
         self.jxw = jnp.asarray(geom.jxw, dtype)
-        if geom.jinv_diag is not None:
+        self.jinv = None
+        if geom.jinv is not None:
+            # general path (mapped/distorted meshes, e.g. the DFG cylinder
+            # morph): full per-(cell, quad) inverse Jacobians.  Nitsche faces
+            # use the axis-aligned tensor-face machinery, which stays exact
+            # as long as the map is the identity ON the outer boundary (the
+            # DFG morphs have compact support around the obstacle) -- verify.
+            if weak_faces or free_faces:
+                assert mesh.vertex_map is not None, \
+                    "Nitsche faces on distorted meshes: unsupported"
+                import jax
+                axes = [mesh.axis_vertices(d) for d in range(self.dim)]
+                base = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+                fmap = mesh.vertex_map
+                for d in range(self.dim):
+                    for side in (0, -1):
+                        idx = [slice(None)] * self.dim
+                        idx[d] = side
+                        pts = jnp.asarray(
+                            base[tuple(idx)].reshape(-1, self.dim))
+                        ok_v = np.allclose(np.asarray(jax.vmap(fmap)(pts)),
+                                           np.asarray(pts), atol=1e-12)
+                        J = np.asarray(jax.vmap(jax.jacfwd(fmap))(pts))
+                        ok_j = np.allclose(J, np.eye(self.dim), atol=1e-10)
+                        assert ok_v and ok_j, \
+                            "Nitsche faces on mapped meshes need the map " \
+                            "to be identity (incl. Jacobian) on the outer " \
+                            "boundary"
+            self.jinv = jnp.asarray(geom.jinv, dtype)
+            self.jinv_diag = None
+            self.jfac = None
+        elif geom.jinv_diag is not None:
             self.jinv_diag = jnp.asarray(geom.jinv_diag, dtype)
             self.jfac = [self.jinv_diag[e] for e in range(self.dim)]
         else:
@@ -158,6 +188,39 @@ class StokesOperator:
         pq = jnp.einsum("...m,mQ->...Q", p, Pq)
         return pq.reshape(p.shape[:-1] + qshape)
 
+    # -- geometry-generic gradient helpers ----------------------------------
+    def _grad_phys(self, uc):
+        """Physical gradient of a cell-gathered scalar field at the quad
+        points: list over d of d(u)/dx_d, [..., *cells, *q]."""
+        dim = self.dim
+        S, D = self.S, self.D
+        ghat = []
+        for e in range(dim):
+            mats = [D if d == e else S for d in range(dim)]
+            ghat.append(_sumfac(mats, uc, dim))
+        if self.jinv is None:
+            return [ghat[e] * self.jfac[e] for e in range(dim)]
+        ji = self.jinv
+        return [sum(ghat[e] * ji[..., e, d] for e in range(dim))
+                for d in range(dim)]
+
+    def _int_grad_phys(self, tvec):
+        """Integrate sum_d (d_d v, tvec[d]) against test gradients back to
+        reference cell-local dofs (includes the jxw measure)."""
+        dim = self.dim
+        S, D = self.S, self.D
+        acc = None
+        for e in range(dim):
+            if self.jinv is None:
+                s = tvec[e] * (self.jxw * self.jfac[e])
+            else:
+                s = sum(tvec[d] * self.jinv[..., e, d]
+                        for d in range(dim)) * self.jxw
+            mats = [D if d == e else S for d in range(dim)]
+            contrib = _sumfac(mats, s, dim, forward=False)
+            acc = contrib if acc is None else acc + contrib
+        return acc
+
     # -- apply --------------------------------------------------------------
     def apply(self, u: jnp.ndarray, p: jnp.ndarray, mode: str = "none",
               u_lin: jnp.ndarray | None = None):
@@ -176,17 +239,13 @@ class StokesOperator:
         navier = mode in ("jacobian", "form")
 
         # per-component gather & physical gradients (+ values when nonlinear)
-        gphys = []  # gphys[c][e]
+        gphys = []  # gphys[c][d] = d u_c / d x_d at quad points
         vq = [] if navier else None
         vlinq = [] if navier else None
         for c in range(dim):
             uc = cell_gather(u[..., c, *([slice(None)] * dim)],
                              self.cells, k)
-            gc = []
-            for e in range(dim):
-                mats = [D if d == e else S for d in range(dim)]
-                gc.append(_sumfac(mats, uc, dim) * self.jfac[e])
-            gphys.append(gc)
+            gphys.append(self._grad_phys(uc))
             if navier:
                 vq.append(_sumfac([S] * dim, uc, dim))
                 ulc = cell_gather(
@@ -207,22 +266,20 @@ class StokesOperator:
                         forward=False)
             rp = cell_scatter(y, self.cells, self.p_degree) * self.mask_p
 
-        # ru_c = sum_e int d_e v (nu d_e u_c - delta_ce p [- convection_ce])
+        # ru_c = sum_d int d_d v (nu d_d u_c - delta_cd p [- convection_cd])
         ru_comps = []
         for c in range(dim):
-            acc = None
-            for e in range(dim):
-                t = nu * gphys[c][e]
-                if e == c:
+            tvec = []
+            for d in range(dim):
+                t = nu * gphys[c][d]
+                if d == c:
                     t = t - p_q
                 if mode == "jacobian":
-                    t = t - vlinq[c] * vq[e] - vq[c] * vlinq[e]
+                    t = t - vlinq[c] * vq[d] - vq[c] * vlinq[d]
                 elif mode == "form":
-                    t = t - vq[c] * vlinq[e]
-                t = t * (self.jxw * self.jfac[e])
-                mats = [D if d == e else S for d in range(dim)]
-                contrib = _sumfac(mats, t, dim, forward=False)
-                acc = contrib if acc is None else acc + contrib
+                    t = t - vq[c] * vlinq[d]
+                tvec.append(t)
+            acc = self._int_grad_phys(tvec)
             ru_comps.append(cell_scatter(acc, self.cells, k))
         ru = jnp.stack(ru_comps, axis=-self.dim - 1)
         if self.weak_faces:
@@ -260,11 +317,18 @@ class StokesOperator:
                               ).reshape(C, Q)
         Pq = self.Pq.reshape(self.n_ploc, Q)
         parts = []
+        if self.jinv is not None:
+            ji = self.jinv.reshape(C, Q, dim, dim)
+            GradJ = jnp.asarray(np.asarray(Grad), self.dtype)
+            gphys = jnp.einsum("cqed,eaq->cdaq", ji, GradJ)
         for c in range(dim):
-            Gc = jnp.asarray(Grad[c], self.dtype)
-            jf = jnp.broadcast_to(self.jfac[c],
-                                  self.cells + (1,) * dim).reshape(C, 1)
-            blk = -jnp.einsum("cq,aq,mq->cam", wq * jf, Gc, Pq)
+            if self.jinv is not None:
+                blk = -jnp.einsum("cq,caq,mq->cam", wq, gphys[:, c], Pq)
+            else:
+                Gc = jnp.asarray(Grad[c], self.dtype)
+                jf = jnp.broadcast_to(self.jfac[c],
+                                      self.cells + (1,) * dim).reshape(C, 1)
+                blk = -jnp.einsum("cq,aq,mq->cam", wq * jf, Gc, Pq)
             parts.append(blk)
         E_up = jnp.concatenate(parts, axis=1)
         mloc = cell_gather(self.mask_u, self.cells, k).reshape(C, A)

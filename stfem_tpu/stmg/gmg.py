@@ -379,7 +379,9 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
             axis_steps=[np.asarray(st).reshape(-1, 2 ** mesh_fine.refinement)
                         [:, 0] * 2 ** mesh_fine.refinement
                         for st in mesh_fine.axis_steps]
-            if mesh_fine.axis_steps is not None else None))
+            if mesh_fine.axis_steps is not None else None,
+            vertex_map=mesh_fine.vertex_map,
+            map_exact=mesh_fine.map_exact))
     poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
                                      poly_coarsening)
     poly_space = get_poly_mg_sequence(u_degree, 1, poly_coarsening)

@@ -292,3 +292,86 @@ def test_stokes_multistep_consistency():
     assert r1.l2_l2_u == pytest.approx(r2.l2_l2_u, rel=1e-9)
     assert r1.l2_l2_p == pytest.approx(r2.l2_l2_p, rel=1e-9)
     assert r1.l2_h1_u == pytest.approx(r2.l2_h1_u, rel=1e-9)
+
+
+def test_mapped_mesh_identity_consistency():
+    """The general-Jacobian (vertex-mapped) Stokes path with an identity map
+    must reproduce the Cartesian fast path exactly (validates _grad_phys /
+    _int_grad_phys / element_matrices jinv branches)."""
+    import jax.numpy as jnp
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    plain = StructuredMesh([2, 2], [0.0, 0.0], [1.0, 1.0], refinement=1)
+    mapped = StructuredMesh([2, 2], [0.0, 0.0], [1.0, 1.0], refinement=1,
+                            vertex_map=lambda x: x * 1.0, map_exact=True)
+    Sa = StokesOperator(plain, 2, 1, 3, 1e-2)
+    Sb = StokesOperator(mapped, 2, 1, 3, 1e-2)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((2,) + Sa.dof_shape_u))
+    p = jnp.asarray(rng.standard_normal(plain.cells + (Sa.n_ploc,)))
+    rua, rpa = Sa.apply(u, p)
+    rub, rpb = Sb.apply(u, p)
+    assert float(jnp.abs(rua - rub).max()) < 1e-12
+    assert float(jnp.abs(rpa - rpb).max()) < 1e-12
+    _, Eup_a, _ = Sa.element_matrices()
+    _, Eup_b, _ = Sb.element_matrices()
+    assert float(jnp.abs(Eup_a - Eup_b).max()) < 1e-12
+
+
+def test_dfg_cylinder_geometry():
+    """dfgBenchmark cylinder grid (reference grids.h:196-242): the squircle
+    morph puts every obstacle-boundary node exactly on the circle of radius
+    0.05 about (0.2, 0.2); exact-map geometry integrates the channel area to
+    high accuracy; cells stay positively oriented at all MG levels."""
+    from stfem_tpu.drivers.stokes import dfg_cylinder_mesh
+
+    for r in (1, 2):
+        m = dfg_cylinder_mesh(refinement=r)
+        g = m.geometry(4, 2)          # detJ>0 asserted inside
+        act = (m.cell_mask != 0).reshape(-1)
+        vol = float(g.jxw.reshape(m.n_cells, -1)[act].sum())
+        exact = 2.2 * 0.41 - np.pi * 0.05 ** 2
+        assert abs(vol - exact) < 1e-4
+        # obstacle-boundary nodes of the velocity space lie ON the circle
+        k = 2
+        coords = m.dof_coordinates(k)
+        mask = m.boundary_dof_mask(k)
+        lo, hi = 2 ** r * k, 2 * 2 ** r * k  # obstacle: base cell idx 1
+        sub = mask[lo:hi + 1, lo:hi + 1]
+        ring = np.zeros_like(sub, dtype=bool)
+        ring[0, :] = ring[-1, :] = True
+        ring[:, 0] = ring[:, -1] = True
+        pts = coords[lo:hi + 1, lo:hi + 1][ring]
+        rad = np.hypot(pts[:, 0] - 0.2, pts[:, 1] - 0.2)
+        assert np.abs(rad - 0.05).max() < 1e-12
+        # coarsening keeps map + mask (STMG hierarchy on the curved grid)
+        if r > 0:
+            mc = m.coarsened()
+            assert mc.vertex_map is not None
+            assert mc.cell_mask is not None and mc.cell_mask.sum() > 0
+            mc.geometry(3, 2)
+
+
+def test_dfg_cylinder_channel():
+    """Flow around the cylinder (DFG benchmark geometry) end-to-end with the
+    STMG preconditioner: curved-geometry drag/lift stays finite, divergence
+    small, iterations bounded."""
+    from stfem_tpu.drivers.stokes import run_dfg_square
+
+    def factory(ctx):
+        return build_stmg_stokes(
+            ctx["mesh"], ctx["fe_degree"], ctx["type_"], 1,
+            ctx["time_step"], viscosity=ctx["viscosity"],
+            params=GMGParams(smoothing_range=5.0), fe_degree_min=1,
+            space_time_level_first=False, weak_faces=ctx["weak_faces"],
+            free_faces=ctx["free_faces"])
+
+    out = run_dfg_square(refinement=1, n_slabs=2, gmres_maxiter=100,
+                         preconditioner_factory=factory, cylinder=True)
+    assert max(out["iterations"]) <= 60
+    assert np.all(np.isfinite(out["u"]))
+    assert np.all(np.isfinite(out["drag_lift"]))
+    assert out["divergence"][-1] < 0.1
+    # drag on the cylinder is positive and O(1) in DFG scaling at t=2/16
+    assert 0.0 < out["drag_lift"][-1][0] < 50.0
