@@ -17,10 +17,11 @@ Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8), STFEM_BENCH_SLABS
 (timed slab solves, default 2), STFEM_BENCH_NTAO (timesteps per slab,
 default 32), STFEM_BENCH_STEPS (smoothing steps, default 2),
 STFEM_BENCH_BF16 (bf16 Vanka storage, default 1).
-NOTE: 16^3 + ntao>=4 NaNs with bf16 Vanka storage on TPU (root-caused:
-STFEM_BENCH_BF16=0 converges there, 20.5 iters, 0.65 MDoF/s); the 16^3
-ntao=1 bf16 config is fine (1.38 MDoF/s measured).  Round-2 fix: per-patch
-scale-normalized bf16 factors or f32 on the finest level only.
+NOTE: the earlier 16^3 + ntao>=4 bf16 NaN is FIXED by the scan-based
+fastdiag Vanka (per-step factors stay f32; only the eigenbasis V is bf16):
+measured on-chip 16^3 ntao=32 bf16 converges at 22 avg iters,
+1.46 MDoF/s (solve 36 s; the iteration count doubles vs 8^3 -- smoothing
+calibration at scale is the open item, not stability).
 """
 from __future__ import annotations
 

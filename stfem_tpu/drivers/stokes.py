@@ -267,7 +267,8 @@ def run_stokes_cycle(refinement: int, fe_degree: int,
         ctx = dict(mesh=mesh, fe_degree=fe_degree, u_degree=u_degree,
                    p_degree=p_degree, type_=type_, viscosity=viscosity,
                    n_timesteps_at_once=n_timesteps_at_once, time_step=tau,
-                   n_q=n_q, refinement=refinement, weak_faces=weak_faces)
+                   n_q=n_q, refinement=refinement, weak_faces=weak_faces,
+                   dg_pressure=dg_pressure)
         precond = preconditioner_factory(ctx)
 
     @jax.jit

@@ -41,8 +41,6 @@ class StokesOperator:
         dg_pressure=False selects the Taylor-Hood pair Q_{u_degree}/Q_{
         p_degree} with a CONTINUOUS nodal pressure (reference
         tp_03stokes.cc:83-86: FE_DGP vs FE_Q switch on dGPressure)."""
-        assert dg_pressure or not weak_faces, \
-            "FE_Q pressure + Nitsche faces: not yet implemented"
         self.dg_pressure = bool(dg_pressure)
         self.mesh = mesh
         self.dim = mesh.dim
@@ -297,14 +295,39 @@ class StokesOperator:
         ru, rp = self.apply(u, p)
         return self.pack(ru, rp)
 
+    @property
+    def n_ploc_cell(self) -> int:
+        """Local pressure dofs per cell: DGP modes or Q_{kp} nodal values."""
+        return (self.n_ploc if self.dg_pressure
+                else (self.p_degree + 1) ** self.dim)
+
+    def _p_basis_at_quad(self) -> jnp.ndarray:
+        """[n_ploc_cell, Q] local pressure basis at the tensor Gauss points
+        (modal shifted-Legendre for DGP, nodal Lagrange for FE_Q)."""
+        Q = self.n_q ** self.dim
+        if self.dg_pressure:
+            return self.Pq.reshape(self.n_ploc, Q)
+        dim, kp = self.dim, self.p_degree
+        Sp = np.asarray(shape_data_1d(kp, self.n_q).S)   # (q, kp+1)
+        A_p = (kp + 1) ** dim
+        a_idx = np.stack(np.meshgrid(*[np.arange(kp + 1)] * dim,
+                                     indexing="ij"), -1).reshape(A_p, dim)
+        q_idx = np.stack(np.meshgrid(*[np.arange(self.n_q)] * dim,
+                                     indexing="ij"), -1).reshape(Q, dim)
+        PqN = np.ones((A_p, Q))
+        for d in range(dim):
+            PqN *= Sp[q_idx[:, d][None, :], a_idx[:, d][:, None]]
+        return jnp.asarray(PqN, self.dtype)
+
     # -- element matrices for the Vanka patches -----------------------------
     def element_matrices(self):
         """(E_uu_scalar, E_up, E_pu): E_uu_scalar = nu-scaled scalar Laplace
         element matrices [C, A, A] (identical per component, Dirichlet rows/
-        cols eliminated); E_up [C, dim*A, nploc] (u rows component-major):
-        -int d_c phi_a psi_m; E_pu [C, nploc, dim*A]: +int psi_m d_c phi_a."""
-        assert self.dg_pressure, \
-            "Vanka patches for FE_Q pressure: not yet implemented"
+        cols eliminated); E_up [C, dim*A, n_ploc_cell] (u rows
+        component-major): -int d_c phi_a psi_m; E_pu [C, n_ploc_cell, dim*A]:
+        +int psi_m d_c phi_a.  For FE_Q pressure the psi_m are the cell-local
+        NODAL basis (the assembled coupling is the neighbor-overlap sum,
+        done by the Vanka build)."""
         dim, k = self.dim, self.u_degree
         lap = LaplaceMassOperator(self.mesh, k, self.n_q, 0.0, self.viscosity,
                                   dtype=self.dtype)
@@ -315,7 +338,7 @@ class StokesOperator:
         Q = self.n_q ** dim
         wq = jnp.broadcast_to(self.jxw, self.cells + (self.n_q,) * dim
                               ).reshape(C, Q)
-        Pq = self.Pq.reshape(self.n_ploc, Q)
+        Pq = self._p_basis_at_quad()
         parts = []
         if self.jinv is not None:
             ji = self.jinv.reshape(C, Q, dim, dim)
@@ -334,6 +357,11 @@ class StokesOperator:
         mloc = cell_gather(self.mask_u, self.cells, k).reshape(C, A)
         mrows = jnp.concatenate([mloc] * dim, axis=1)
         E_up = E_up * mrows[:, :, None]
+        if not self.dg_pressure:
+            # eliminate constrained (masked-cell) pressure dofs
+            mp = cell_gather(self.mask_p, self.cells,
+                             self.p_degree).reshape(C, -1)
+            E_up = E_up * mp[:, None, :]
         E_pu = -jnp.transpose(E_up, (0, 2, 1))
         return E_uu, E_up, E_pu
 
@@ -404,17 +432,21 @@ class StokesOperator:
                     Pqf=jnp.asarray(Pqf, self.dtype),
                     coords=jnp.asarray(coords, self.dtype))
 
-    def _trace_eval(self, field, oth):
+    def _trace_eval(self, field, oth, degree=None, mat=None):
         """[..., *dofs_oth] -> [..., *cells_oth, *q_oth]."""
         cells_oth = tuple(self.cells[d] for d in oth)
-        fc = cell_gather(field, cells_oth, self.u_degree)
-        return _sumfac([self.S] * (self.dim - 1), fc, self.dim - 1)
+        fc = cell_gather(field, cells_oth,
+                         self.u_degree if degree is None else degree)
+        m = self.S if mat is None else mat
+        return _sumfac([m] * (self.dim - 1), fc, self.dim - 1)
 
-    def _trace_integrate(self, vals, oth):
+    def _trace_integrate(self, vals, oth, degree=None, mat=None):
         cells_oth = tuple(self.cells[d] for d in oth)
-        y = _sumfac([self.S] * (self.dim - 1), vals, self.dim - 1,
+        m = self.S if mat is None else mat
+        y = _sumfac([m] * (self.dim - 1), vals, self.dim - 1,
                     forward=False)
-        return cell_scatter(y, cells_oth, self.u_degree)
+        return cell_scatter(y, cells_oth,
+                            self.u_degree if degree is None else degree)
 
     def apply_nitsche(self, u, p):
         """Weak-boundary operator contributions (ru_add, rp_add).
@@ -449,15 +481,27 @@ class StokesOperator:
                 dn = jnp.tensordot(D1e, jnp.moveaxis(ul, L + d0, 0),
                                    axes=(0, 0)) * (n_sign / fd["h0"])
                 dnq.append(self._trace_eval(dn, oth))
-            p_b = p[(..., *cell_sl, slice(None))]
-            pq = jnp.einsum("...m,mQ->...Q", p_b,
-                            fd["Pqf"].reshape(self.n_ploc, -1))
-            pq = pq.reshape(p_b.shape[:-1] + (self.n_q,) * (dim - 1))
             un = n_sign * uq[d0]
-            rp_add = -jnp.einsum(
-                "mQ,...Q->...m", fd["Pqf"].reshape(self.n_ploc, -1),
-                (un * jxwf).reshape(un.shape[:un.ndim - (dim - 1)] + (-1,)))
-            rp = rp.at[(..., *cell_sl, slice(None))].add(rp_add)
+            if self.dg_pressure:
+                p_b = p[(..., *cell_sl, slice(None))]
+                pq = jnp.einsum("...m,mQ->...Q", p_b,
+                                fd["Pqf"].reshape(self.n_ploc, -1))
+                pq = pq.reshape(p_b.shape[:-1] + (self.n_q,) * (dim - 1))
+                rp_add = -jnp.einsum(
+                    "mQ,...Q->...m", fd["Pqf"].reshape(self.n_ploc, -1),
+                    (un * jxwf).reshape(
+                        un.shape[:un.ndim - (dim - 1)] + (-1,)))
+                rp = rp.at[(..., *cell_sl, slice(None))].add(rp_add)
+            else:
+                # FE_Q: nodal pressure trace straight from the grid boundary
+                grid_sl_p = [slice(None)] * dim
+                grid_sl_p[d0] = eidx
+                pf = (p * self.mask_p)[(..., *grid_sl_p)]
+                pq = self._trace_eval(pf, oth, self.p_degree, self.Sp)
+                rp_add = -self._trace_integrate(un * jxwf, oth,
+                                                self.p_degree, self.Sp)
+                mp_f = self.mask_p[tuple(grid_sl_p)]
+                rp = rp.at[(..., *grid_sl_p)].add(rp_add * mp_f)
             for c in range(dim):
                 n_c = n_sign if c == d0 else 0.0
                 T1 = (self.gamma1 / hf) * uq[c] - nu * dnq[c]
@@ -484,7 +528,7 @@ class StokesOperator:
         dim, k = self.dim, self.u_degree
         nu = self.viscosity
         rhs_u = jnp.zeros((dim,) + tuple(self.dof_shape_u), self.dtype)
-        rhs_p = jnp.zeros(tuple(self.cells) + (self.n_ploc,), self.dtype)
+        rhs_p = jnp.zeros(self.p_shape, self.dtype)
         for (d0, side) in self.weak_faces:
             fd = self._face_setup(d0, side)
             oth, jxwf, hf = fd["oth"], fd["jxw"], fd["hf"]
@@ -497,10 +541,19 @@ class StokesOperator:
             cell_sl[d0] = eidx
             g = g_fn(fd["coords"], t)               # [cells_oth, q_oth, dim]
             gn = n_sign * g[..., d0]
-            rp_add = -jnp.einsum(
-                "mQ,...Q->...m", fd["Pqf"].reshape(self.n_ploc, -1),
-                (gn * jxwf).reshape(gn.shape[:gn.ndim - (dim - 1)] + (-1,)))
-            rhs_p = rhs_p.at[(*cell_sl, slice(None))].add(rp_add)
+            if self.dg_pressure:
+                rp_add = -jnp.einsum(
+                    "mQ,...Q->...m", fd["Pqf"].reshape(self.n_ploc, -1),
+                    (gn * jxwf).reshape(
+                        gn.shape[:gn.ndim - (dim - 1)] + (-1,)))
+                rhs_p = rhs_p.at[(*cell_sl, slice(None))].add(rp_add)
+            else:
+                grid_sl_p = [slice(None)] * dim
+                grid_sl_p[d0] = eidx
+                rp_add = -self._trace_integrate(gn * jxwf, oth,
+                                                self.p_degree, self.Sp)
+                mp_f = self.mask_p[tuple(grid_sl_p)]
+                rhs_p = rhs_p.at[tuple(grid_sl_p)].add(rp_add * mp_f)
             for c in range(dim):
                 T1 = (self.gamma1 / hf) * g[..., c]
                 if c == d0:
@@ -563,7 +616,24 @@ class StokesOperator:
                     prof_d = prof_d * vals
                 tr[a] = prof_t
                 Dn[a] = prof_d
-            Pqf = np.asarray(fd["Pqf"]).reshape(self.n_ploc, Qf)
+            n_pl = self.n_ploc_cell
+            if self.dg_pressure:
+                Pqf = np.asarray(fd["Pqf"]).reshape(self.n_ploc, Qf)
+            else:
+                # nodal FE_Q pressure trace of the cell-local basis
+                kp = self.p_degree
+                Sp1 = np.asarray(shape_data_1d(kp, self.n_q).S)
+                locsp = np.stack(np.meshgrid(*([np.arange(kp + 1)] * dim),
+                                             indexing="ij"),
+                                 -1).reshape(n_pl, dim)
+                edge_locp = 0 if side == 0 else kp
+                Pqf = np.ones((n_pl, Qf))
+                for a in range(n_pl):
+                    prof = np.full(Qf, 1.0 if locsp[a, d0] == edge_locp
+                                   else 0.0)
+                    for i, d in enumerate(oth):
+                        prof = prof * Sp1[q_idx[:, i], locsp[a, d]]
+                    Pqf[a] = prof
             Fuu = []
             for c in range(dim):
                 g = self.gamma1 / hf + (self.gamma2 / hf if c == d0 else 0.0)
@@ -572,8 +642,8 @@ class StokesOperator:
                 con = (np.einsum("cq,aq,bq->cab", jxwf, tr, Dn)
                        + np.einsum("cq,aq,bq->cab", jxwf, Dn, tr))
                 Fuu.append(pen - nu * con)
-            Fup = np.zeros((C_layer, dim * A, self.n_ploc))
-            Fpu = np.zeros((C_layer, self.n_ploc, dim * A))
+            Fup = np.zeros((C_layer, dim * A, n_pl))
+            Fpu = np.zeros((C_layer, n_pl, dim * A))
             blk = np.einsum("cq,aq,mq->cam", jxwf, tr, Pqf) * n_sign
             Fup[:, d0 * A:(d0 + 1) * A, :] = blk          # + p n . v
             Fpu[:, :, d0 * A:(d0 + 1) * A] = -np.transpose(blk, (0, 2, 1))

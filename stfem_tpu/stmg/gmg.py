@@ -344,11 +344,15 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                       fe_degree_min: int | None = None,
                       n_timesteps_at_once_min: int | None = None,
                       poly_coarsening=PolynomialCoarseningSequenceType.bisect,
-                      weak_faces=(), free_faces=()) -> GMG:
+                      weak_faces=(), free_faces=(),
+                      dg_pressure: bool = True) -> GMG:
     """STMG hierarchy for the Stokes slab system on the flat [T, n_u+n_p]
     layout (reference tests/tp_03stokes.cc level setup): velocity Q_{k+1}
-    with pressure DGP(k) per level, block Vanka with velocity-only mass mask.
-    """
+    with pressure DGP(k) -- or, with dg_pressure=False, the Taylor-Hood
+    pair with CONTINUOUS Q_k pressure (reference dGPressure switch,
+    tp_03stokes.cc:81-87) -- per level, block Vanka with velocity-only mass
+    mask.  FE_Q keeps velocity >= Q2 on all p-levels so the nodal pressure
+    stays >= Q1."""
     from ..blocks import BlockSlice
     from ..ops.stokes import StokesOperator
     from ..system_stokes import StokesSystemMatrix
@@ -384,7 +388,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
             map_exact=mesh_fine.map_exact))
     poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
                                      poly_coarsening)
-    poly_space = get_poly_mg_sequence(u_degree, 1, poly_coarsening)
+    poly_space = get_poly_mg_sequence(u_degree, 1 if dg_pressure else 2,
+                                      poly_coarsening)
     mg_type_level = get_mg_sequence(
         n_sp_lvl, poly_time, poly_space, n_timesteps_at_once,
         n_timesteps_at_once_min, MGType.tau, coarsening_type,
@@ -431,7 +436,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
         if key not in sop_cache:
             S = StokesOperator(mesh_l, u_deg, p_deg, u_deg + 1, viscosity,
                                dtype=dtype, weak_faces=weak_faces,
-                               free_faces=free_faces)
+                               free_faces=free_faces,
+                               dg_pressure=dg_pressure)
             Mu = LaplaceMassOperator(mesh_l, u_deg, u_deg + 1, 1.0, 0.0,
                                      dtype=dtype, mask=S.mask_u_np)
             sop_cache[key] = (S, Mu)
@@ -447,9 +453,11 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
         else:
             vanka = StokesVanka(S, Mu, fetw_stokes[l][0], fetw_stokes[l][1],
                                 blk, dtype=dtype)
+            p_mask = (np.ones(S.n_p) if dg_pressure
+                      else np.asarray(S.mask_p_np).reshape(-1))
             flat_mask = np.concatenate(
                 [np.tile(np.asarray(S.mask_u_np).reshape(-1), S.dim),
-                 np.ones(S.n_p)])
+                 p_mask])
             if np.sum(S.mask_u_np) == 0:
                 info = None
             else:
@@ -496,8 +504,22 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                                                  deg_hi)
                         for d in range(mesh_hi.dim)]
             ut = SpaceTransfer(P1ds, S_hi.mask_u_np, S_lo.mask_u_np, dtype)
+            pt = None
+            if not dg_pressure:
+                kp_hi, kp_lo = deg_hi - 1, deg_lo - 1
+                if mgt == MGType.h:
+                    P1ds_p = [h_prolongation_global_1d(mesh_lo.cells[d],
+                                                       kp_hi)
+                              for d in range(mesh_hi.dim)]
+                else:
+                    P1ds_p = [p_prolongation_global_1d(mesh_hi.cells[d],
+                                                       kp_lo, kp_hi)
+                              for d in range(mesh_hi.dim)]
+                pt = SpaceTransfer(P1ds_p, S_hi.mask_p_np, S_lo.mask_p_np,
+                                   dtype)
             transfers.append(StokesSpaceTransfer(
-                S_hi, S_lo, ut, "h" if mgt == MGType.h else "p", dtype))
+                S_hi, S_lo, ut, "h" if mgt == MGType.h else "p", dtype,
+                p_transfer=pt))
         else:
             rt_hi = poly_time[ntd_idx[l]]
             rt_lo = poly_time[ntd_idx[l - 1]]

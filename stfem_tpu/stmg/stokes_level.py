@@ -21,6 +21,48 @@ from .transfers import SpaceTransfer, TimeTransfer
 from .vanka import _band_flat, dof_valence
 
 
+def _assemble_patch_up(E_up, cells, n_comp, ku, kp):
+    """Neighbor-overlap assembly of the rectangular u-p coupling for
+    CONTINUOUS (FE_Q) pressure: the ASSEMBLED entry A[gu, gp] sums element
+    contributions from every cell containing both dofs, so the per-cell
+    patch is the element tensor plus slice-adds from all 3^dim - 1 neighbor
+    shifts (the banded-assembly analogue of the reference's ghost-row
+    extraction, compute_block_matrix.h:50-139, for the rectangular block)."""
+    import itertools
+    dim = len(cells)
+    A_u = (ku + 1) ** dim
+    A_p = (kp + 1) ** dim
+    C = int(np.prod(cells))
+    E = E_up.reshape(cells + (n_comp,) + (ku + 1,) * dim + (kp + 1,) * dim)
+    P = E
+    for delta in itertools.product((-1, 0, 1), repeat=dim):
+        if all(d == 0 for d in delta):
+            continue
+        dst_c, src_c, dst_u, src_u, dst_p, src_p = [], [], [], [], [], []
+        for d, dd in enumerate(delta):
+            if dd == 0:
+                for lst in (dst_c, src_c, dst_u, src_u, dst_p, src_p):
+                    lst.append(slice(None))
+            elif dd == 1:
+                dst_c.append(slice(0, cells[d] - 1))
+                src_c.append(slice(1, None))
+                dst_u.append(slice(ku, ku + 1))
+                src_u.append(slice(0, 1))
+                dst_p.append(slice(kp, kp + 1))
+                src_p.append(slice(0, 1))
+            else:
+                dst_c.append(slice(1, None))
+                src_c.append(slice(0, cells[d] - 1))
+                dst_u.append(slice(0, 1))
+                src_u.append(slice(ku, ku + 1))
+                dst_p.append(slice(0, 1))
+                src_p.append(slice(kp, kp + 1))
+        src = E[tuple(src_c) + (slice(None),) + tuple(src_u) + tuple(src_p)]
+        P = P.at[tuple(dst_c) + (slice(None),)
+                 + tuple(dst_u) + tuple(dst_p)].add(src)
+    return P.reshape(C, n_comp * A_u, A_p)
+
+
 @register_module
 class StokesVanka:
     """Cell-patch Vanka for the space-time Stokes slab.
@@ -43,7 +85,7 @@ class StokesVanka:
         C = int(np.prod(cells))
         A_s = (k + 1) ** dim
         A_u = dim * A_s
-        n_pl = S.n_ploc
+        n_pl = S.n_ploc_cell
         n_blocks = blk.n_blocks
         Alpha_st = np.asarray(Alpha_st)
         Beta_st = np.asarray(Beta_st)
@@ -103,6 +145,11 @@ class StokesVanka:
             if face_up_ is not None:
                 E_up = E_up + face_up_
                 E_pu = E_pu + face_pu_
+            if not S_.dg_pressure:
+                # continuous pressure: patch coupling is the assembled sum
+                # over neighbor cells
+                E_up = _assemble_patch_up(E_up, cells, dim, k, S_.p_degree)
+                E_pu = -jnp.swapaxes(E_up, 1, 2)
 
             def blockdiag_list(comps):
                 Z = jnp.zeros((C, A_s, A_s), dtype)
@@ -134,21 +181,34 @@ class StokesVanka:
                     r0, r1 = int(offs[i]), int(offs[i + 1])
                     c0, c1 = int(offs[j]), int(offs[j + 1])
                     B = B.at[:, r0:r1, c0:c1].add(sub)
-            # valence row scaling (u rows: spatial multiplicity; p rows: 1)
+            # valence row scaling (u rows: spatial multiplicity; p rows:
+            # 1 for cell-local DGP modes, dof multiplicity for FE_Q nodes)
             vl = cell_gather(vloc, cells, k).reshape(C, A_s)
+            if S_.dg_pressure:
+                vl_p = jnp.ones((C, n_pl), dtype)
+            else:
+                valp = jnp.asarray(dof_valence(cells, S_.p_degree), dtype)
+                vl_p = cell_gather(valp, cells, S_.p_degree).reshape(C, n_pl)
             vrows = []
             for i in range(n_blocks):
                 _, iv, _ = blk.decompose(i)
                 if iv == 0:
                     vrows.append(jnp.concatenate([vl] * dim, axis=1))
                 else:
-                    vrows.append(jnp.ones((C, n_pl), dtype))
+                    vrows.append(vl_p)
             vrows = jnp.concatenate(vrows, axis=1)
             B = B * vrows[:, :, None]
             # regularize fully-decoupled rows (degenerate coarse levels)
             zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(dtype)
             B = B + jax.vmap(jnp.diag)(zero_rows)
-            return jnp.linalg.inv(B)
+            if S_.dg_pressure:
+                return jnp.linalg.inv(B)
+            # FE_Q: continuous-pressure patches can be SINGULAR (few free
+            # velocity dofs vs the cell's nodal pressure dofs on very coarse
+            # levels); the pseudo-inverse drops those directions instead of
+            # blowing up -- the additive updates from neighboring patches
+            # and coarser levels cover them
+            return jnp.linalg.pinv(B, rtol=1e-6)
 
         self.Binv = jax.jit(build)(lap, mass, S, flat_idx,
                                    jnp.asarray(vloc_np, dtype),
@@ -171,7 +231,12 @@ class StokesVanka:
         uc = cell_gather(u, cells, k)           # [T, dim, *cells, *loc]
         uc = jnp.moveaxis(uc.reshape(T, dim, C, A_s), 2, 0)  # [C, T, dim, A_s]
         uc = uc.reshape(C, T, dim * A_s)
-        pc = p.reshape(T, C, S.n_ploc).transpose(1, 0, 2)    # [C, T, nploc]
+        n_pl = S.n_ploc_cell
+        if S.dg_pressure:
+            pc = p.reshape(T, C, n_pl).transpose(1, 0, 2)    # [C, T, nploc]
+        else:
+            pc = cell_gather(p, cells, S.p_degree)
+            pc = pc.reshape(T, C, n_pl).transpose(1, 0, 2)
         segs = []
         for i in range(blk.n_blocks):
             it, iv, idof = blk.decompose(i)
@@ -182,7 +247,7 @@ class StokesVanka:
 
         # scatter back
         du = jnp.zeros((T, dim, C, A_s), self.dtype)
-        dp = jnp.zeros((T, C, S.n_ploc), self.dtype)
+        dp = jnp.zeros((T, C, n_pl), self.dtype)
         for i in range(blk.n_blocks):
             it, iv, idof = blk.decompose(i)
             tpos = it * nt + idof
@@ -195,9 +260,14 @@ class StokesVanka:
                 dp = dp.at[tpos].add(seg)
         du = du.reshape(T, dim, *cells, *((k + 1,) * dim))
         du = cell_scatter(du, cells, k)
-        dp = dp.transpose(1, 0, 2).reshape(cells + (T, S.n_ploc,))
-        # reorder dp axes back to [T, *cells, nploc]
-        dp = jnp.moveaxis(dp, -2, 0)
+        if S.dg_pressure:
+            dp = dp.transpose(1, 0, 2).reshape(cells + (T, n_pl))
+            # reorder dp axes back to [T, *cells, nploc]
+            dp = jnp.moveaxis(dp, -2, 0)
+        else:
+            kp = S.p_degree
+            dp = dp.reshape(T, *cells, *((kp + 1,) * dim))
+            dp = cell_scatter(dp, cells, kp)
         return S.pack(du, dp)
 
 
@@ -207,13 +277,18 @@ class StokesSpaceTransfer:
     transfer on each velocity component + exact DGP embedding for pressure."""
 
     def __init__(self, S_fine: StokesOperator, S_coarse: StokesOperator,
-                 u_transfer: SpaceTransfer, mg_type: str, dtype):
+                 u_transfer: SpaceTransfer, mg_type: str, dtype,
+                 p_transfer: SpaceTransfer | None = None):
         self.Sf = S_fine
         self.Sc = S_coarse
         self.u_transfer = u_transfer
+        self.p_transfer = p_transfer       # FE_Q (nodal) pressure transfer
         self.mg_type = mg_type  # 'h' or 'p'
         dim = S_fine.dim
-        if mg_type == "h":
+        if not S_fine.dg_pressure:
+            assert p_transfer is not None, \
+                "FE_Q pressure levels need a nodal pressure SpaceTransfer"
+        elif mg_type == "h":
             assert S_fine.p_degree == S_coarse.p_degree
             self.Ech = jnp.asarray(
                 dgp_child_embedding(dim, S_fine.p_degree), dtype)
@@ -224,6 +299,8 @@ class StokesSpaceTransfer:
 
     def _p_prolongate(self, pc):
         dim = self.Sf.dim
+        if self.p_transfer is not None:
+            return self.p_transfer.prolongate(pc)
         if self.mg_type == "p":
             return jnp.einsum("fm,...m->...f", self.Pp, pc)
         # h: coarse cells split into 2^dim children
@@ -240,6 +317,8 @@ class StokesSpaceTransfer:
 
     def _p_restrict(self, pf):
         dim = self.Sf.dim
+        if self.p_transfer is not None:
+            return self.p_transfer.restrict(pf)
         if self.mg_type == "p":
             return jnp.einsum("fm,...f->...m", self.Pp, pf)
         import itertools

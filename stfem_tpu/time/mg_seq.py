@@ -25,9 +25,9 @@ def create_next_polynomial_coarsening_degree(
         p_sequence: PolynomialCoarseningSequenceType,
         k_min: int = 0) -> int:
     if p_sequence == PolynomialCoarseningSequenceType.bisect:
-        return max(previous_fe_degree // 2, 0)
+        return max(previous_fe_degree // 2, k_min)
     if p_sequence == PolynomialCoarseningSequenceType.decrease_by_one:
-        return max(previous_fe_degree - 1, 0)
+        return max(previous_fe_degree - 1, k_min)
     if p_sequence == PolynomialCoarseningSequenceType.go_to_one:
         return k_min
     raise ValueError(p_sequence)

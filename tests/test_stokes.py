@@ -375,3 +375,51 @@ def test_dfg_cylinder_channel():
     assert out["divergence"][-1] < 0.1
     # drag on the cylinder is positive and O(1) in DFG scaling at t=2/16
     assert 0.0 < out["drag_lift"][-1][0] < 50.0
+
+
+def test_feq_pressure_stmg():
+    """Taylor-Hood (FE_Q continuous pressure) STMG: Vanka patches with
+    neighbor-assembled u-p coupling + nodal pressure transfers + Nitsche
+    FE_Q faces (reference dGPressure=false branch, tp_03stokes.cc:81-87).
+    Singular coarse patches are handled by the pseudo-inverse."""
+    from stfem_tpu.drivers.stokes import run_stokes_cycle
+
+    def factory(ctx):
+        return build_stmg_stokes(
+            ctx["mesh"], ctx["fe_degree"], ctx["type_"],
+            ctx["n_timesteps_at_once"], ctx["time_step"],
+            viscosity=ctx["viscosity"],
+            params=GMGParams(smoothing_range=5.0), fe_degree_min=1,
+            space_time_level_first=False, dg_pressure=ctx["dg_pressure"],
+            weak_faces=ctx["weak_faces"])
+
+    r1 = run_stokes_cycle(refinement=1, fe_degree=1, type_=TimeStepType.DG,
+                          preconditioner_factory=factory, gmres_maxiter=100,
+                          dg_pressure=False, nitsche_boundary=True)
+    r2 = run_stokes_cycle(refinement=2, fe_degree=1, type_=TimeStepType.DG,
+                          preconditioner_factory=factory, gmres_maxiter=100,
+                          dg_pressure=False, nitsche_boundary=True)
+    assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 2.0
+    assert np.log2(r1.l2_l2_p / r2.l2_l2_p) > 1.5
+    # iteration counts: not yet h-flat for FE_Q (DGP is); pin the ceiling
+    assert r1.avg_iterations <= 25 and r2.avg_iterations <= 35
+
+
+def test_feq_nitsche_skew_pairing():
+    """FE_Q pressure + Nitsche faces: the u-p/p-u face coupling stays skew
+    (reference do_boundary_face_integral_local pressure terms)."""
+    import jax.numpy as jnp
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    wf = tuple((d, s) for d in range(2) for s in (0, 1))
+    S = StokesOperator(mesh, 2, 1, 3, 1.0, dg_pressure=False, weak_faces=wf)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((2,) + S.dof_shape_u))
+    p = jnp.asarray(rng.standard_normal(S.p_shape))
+    ru_p, _ = S.apply(jnp.zeros_like(u), p)
+    _, rp_u = S.apply(u, jnp.zeros_like(p))
+    lhs = float(jnp.sum(ru_p * u * S.mask_u))
+    rhs = float(jnp.sum(rp_u * (p * S.mask_p)))
+    assert abs(lhs + rhs) < 1e-9 * max(abs(lhs), 1.0)
