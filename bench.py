@@ -92,11 +92,12 @@ def main():
         # Measured A/B on-chip at 16^3: steps=3 cuts iterations 17->12 but
         # costs 1.6x wall (9.5s -> 15.4s for 16 slabs) -- Vanka sweeps
         # dominate, so fewer/cheaper smoothing steps win
+        coarse_type = os.environ.get("STFEM_BENCH_COARSE", "Direct")
         gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=smoothing_steps,
                                           variable=False,
-                                          coarse_grid_smoother_type="GMRES",
+                                          coarse_grid_smoother_type=coarse_type,
                                           vanka_bf16=vanka_bf16))
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),

@@ -86,6 +86,9 @@ class _Level:
 
 @register_module
 class GMG:
+    # coarse systems up to this many unknowns may be assembled + inverted
+    DIRECT_COARSE_MAX = 16384
+
     def __init__(self, levels, transfers, params: GMGParams, dtype,
                  precondition_sequence):
         self.levels = levels
@@ -94,6 +97,29 @@ class GMG:
         self.dtype = dtype
         self.precondition_sequence = precondition_sequence
         self.max_level = len(levels) - 1
+        self.coarse_Ainv = None
+        if params.coarse_grid_smoother_type == "Direct":
+            self.coarse_Ainv = self._assemble_direct_coarse()
+
+    def _assemble_direct_coarse(self):
+        """Dense inverse of the coarsest slab operator (TPU-natural coarse
+        solver: the coarsest space-time system is a few hundred unknowns, so
+        ONE assembled inverse replaces the reference's coarse GMRES chain --
+        exact coarse correction at one matmul of runtime cost)."""
+        import jax
+
+        lvl = self.levels[0]
+        n = lvl.n_blocks * int(np.prod(lvl.dof_shape))
+        assert n <= self.DIRECT_COARSE_MAX, \
+            f"coarse level too large for Direct solver ({n})"
+        shape = (lvl.n_blocks,) + tuple(lvl.dof_shape)
+        eye = jnp.eye(n, dtype=self.dtype).reshape((n,) + shape)
+        cols = jax.jit(jax.vmap(lvl.matrix.vmult))(eye).reshape(n, n)
+        A = cols.T
+        # unit diagonal on constrained (masked-away) dofs
+        zero_rows = (jnp.max(jnp.abs(A), axis=1) == 0.0).astype(self.dtype)
+        A = A + jnp.diag(zero_rows)
+        return jnp.linalg.inv(A)
 
     def _steps2(self, level: int) -> int:
         s = self.params.smoothing_steps
@@ -125,6 +151,9 @@ class GMG:
         return u
 
     def _coarse_solve(self, defect):
+        if self.coarse_Ainv is not None:
+            d = defect.astype(self.dtype).reshape(-1)
+            return (self.coarse_Ainv @ d).reshape(defect.shape)
         if self.params.coarse_grid_smoother_type == "Smoother":
             return self._apply_smoother(0, defect)
         lvl = self.levels[0]
