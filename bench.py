@@ -9,13 +9,19 @@ is sustained space-time DoF/s per chip for full slab solves (slab-system
 rel. residual 1e-8) and vs_baseline compares against the reference's >1e9
 DoF/s cluster figure (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
 
-On-chip measured scaling (8^3 cells, Q4 x dG(2), iterations flat at ~9.5):
+On-chip measured scaling (8^3 cells, Q4 x dG(2)):
 ntao 1 -> 0.9 MDoF/s, 4 -> 2.25, 8 -> 4.36, 16 -> 5.11, 32 -> 8.17,
-64 -> 5.31 (past the sweet spot; setup also balloons).
+64 -> 5.31 (past the sweet spot; setup also balloons) -- pre-optimization
+numbers; after the Vanka unroll + direct coarse + smoothing calibration
+the 8^3 ntao=32 headline is 15.6 MDoF/s (14 iters, V(1,1) with 2-sweep
+relaxation, identity levels skipped; A/B matrix in STATUS.md).
 
 Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8), STFEM_BENCH_SLABS
 (timed slab solves, default 2), STFEM_BENCH_NTAO (timesteps per slab,
-default 32), STFEM_BENCH_STEPS (smoothing steps, default 2),
+default 32), STFEM_BENCH_STEPS (MG smoothing steps, default 1),
+STFEM_BENCH_INNER (relaxation sweeps per smoother application, default 2),
+STFEM_BENCH_SKIPID (skip Identity levels, default 1), STFEM_BENCH_COARSE
+(Direct|GMRES|Smoother, default Direct),
 STFEM_BENCH_BF16 (bf16 Vanka storage, default 1).
 NOTE: the earlier 16^3 + ntao>=4 bf16 NaN is FIXED by the scan-based
 fastdiag Vanka (per-step factors stay f32; only the eigenbasis V is bf16):
@@ -56,7 +62,7 @@ def main():
         pass
     cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "8"))
     n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "2"))
-    smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "2"))
+    smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "1"))
     fe_degree = 2              # dG(2) in time
     space_degree = 4           # Q4 in space
     # temporal blocking: solve STFEM_BENCH_NTAO timesteps as ONE slab system
@@ -93,12 +99,17 @@ def main():
         # costs 1.6x wall (9.5s -> 15.4s for 16 slabs) -- Vanka sweeps
         # dominate, so fewer/cheaper smoothing steps win
         coarse_type = os.environ.get("STFEM_BENCH_COARSE", "Direct")
+        inner_env = os.environ.get("STFEM_BENCH_INNER", "")
+        inner = int(inner_env) if inner_env else 2
+        skip_id = os.environ.get("STFEM_BENCH_SKIPID", "1") == "1"
         gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=smoothing_steps,
                                           variable=False,
                                           coarse_grid_smoother_type=coarse_type,
-                                          vanka_bf16=vanka_bf16))
+                                          vanka_bf16=vanka_bf16,
+                                          smoother_inner_iterations=inner,
+                                          skip_identity_levels=skip_id))
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)

@@ -73,6 +73,10 @@ class GMGParams:
     # helps strongly-coupled systems (wave); False: deal.II-faithful
     # MGSmootherPrecondition-with-PreconditionIdentity Richardson steps.
     skip_identity_levels: bool = False
+    # inner Relaxation/Chebyshev iterations per smoother application
+    # (reference smoothing DEGREE); None = same as smoothing_steps (the
+    # historical wiring, which applies steps twice: degree x MG steps)
+    smoother_inner_iterations: int | None = None
 
 
 @register_module
@@ -316,16 +320,22 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                 else:
                     omega = relaxation_parameters(info,
                                                   params.smoothing_range)
+                inner = (params.smoother_inner_iterations
+                         if params.smoother_inner_iterations is not None
+                         else params.smoothing_steps)
                 lvl.smoother = RelaxationSmoother(matrix, vanka, omega,
-                                                  params.smoothing_steps)
+                                                  inner)
             else:
                 if info is None:
                     theta, delta = 1.0, 0.5
                 else:
                     theta, delta = chebyshev_parameters(
                         info, params.smoothing_range)
+                inner = (params.smoother_inner_iterations
+                         if params.smoother_inner_iterations is not None
+                         else params.smoothing_steps)
                 lvl.smoother = ChebyshevSmoother(matrix, vanka, theta, delta,
-                                                 params.smoothing_steps)
+                                                 inner)
         levels.append(lvl)
 
     transfers = []
@@ -505,14 +515,20 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                 else:
                     omega = relaxation_parameters(info,
                                                   params.smoothing_range)
+                inner = (params.smoother_inner_iterations
+                         if params.smoother_inner_iterations is not None
+                         else params.smoothing_steps)
                 lvl.smoother = RelaxationSmoother(matrix, vanka, omega,
-                                                  params.smoothing_steps)
+                                                  inner)
             else:
                 theta, delta = ((1.0, 0.5) if info is None else
                                 chebyshev_parameters(info,
                                                      params.smoothing_range))
+                inner = (params.smoother_inner_iterations
+                         if params.smoother_inner_iterations is not None
+                         else params.smoothing_steps)
                 lvl.smoother = ChebyshevSmoother(matrix, vanka, theta, delta,
-                                                 params.smoothing_steps)
+                                                 inner)
         levels.append(lvl)
 
     transfers = []

@@ -72,3 +72,59 @@ def test_sharded_vmult_parity(degree):
     y_parts = [y_sh[:, i * L:(i + 1) * L] for i in range(n_shards)]
     y_join = join_dof_grid(y_parts, degree, axis=1)
     np.testing.assert_allclose(y_join, y_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_stmg_solve_parity():
+    """FULL STMG-preconditioned FGMRES slab solve under GSPMD sharding on an
+    8-device mesh equals the single-device solve (the multi-chip execution
+    path the driver dry-runs; reference analogue: MPI domain decomposition
+    of the whole solver, SURVEY.md section 2.4)."""
+    from jax.sharding import NamedSharding
+    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.parallel.sharding import (block_vector_spec, spatial_mesh)
+    from stfem_tpu.stmg.gmg import GMGParams, build_stmg
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=3)
+    tau = 1.0 / 8
+    K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0, dtype=jnp.float32)
+    M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0, dtype=jnp.float32)
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 1, tau, 2)
+    mat = SystemMatrix(K, M, A, B)
+    gmg = build_stmg(mesh, 1, 2, TimeStepType.DG, 2, tau,
+                     dtype=jnp.float32, fe_degree_min=1,
+                     params=GMGParams(smoothing_steps=2, variable=False,
+                                      coarse_grid_smoother_type="Direct"))
+    rng = np.random.default_rng(1)
+    rhs = mat.vmult(jnp.asarray(
+        rng.standard_normal((4,) + mesh.dof_shape(2)), jnp.float32))
+
+    def solve(matrix, gmg_, b):
+        res = fgmres(matrix.vmult, b, jnp.zeros_like(b),
+                     precondition=gmg_.vmult, maxiter=25, abstol=1e-30,
+                     reltol=1e-10)
+        return res.x, res.iterations
+
+    x_ref, it_ref = jax.jit(solve)(mat, gmg, rhs)
+
+    dev_mesh = spatial_mesh(8, dim=2)
+    spec = block_vector_spec(dev_mesh, 2)
+    sh = NamedSharding(dev_mesh, spec)
+    # the odd dof grid (17x17) is padded to mesh-divisible extents at the
+    # jit boundary and sliced inside -- the same recipe the driver's
+    # dryrun_multichip uses; GSPMD propagates (uneven) internal shardings
+    msizes = dict(zip(dev_mesh.axis_names, dev_mesh.devices.shape))
+    gs = rhs.shape
+    pshape = (gs[0],) + tuple(-(-e // msizes.get(ax, 1)) * msizes.get(ax, 1)
+                              for e, ax in zip(gs[1:], ["x", "y"]))
+    rhs_p = jnp.pad(rhs, [(0, p - s) for p, s in zip(pshape, gs)])
+
+    def solve_padded(matrix, gmg_, bp):
+        return solve(matrix, gmg_, bp[:, :gs[1], :gs[2]])
+
+    rhs_sh = jax.device_put(rhs_p, sh)
+    with dev_mesh:
+        x_sh, it_sh = jax.jit(solve_padded, in_shardings=(None, None, sh))(
+            mat, gmg, rhs_sh)
+    assert int(it_sh) == int(it_ref)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-5)

@@ -93,3 +93,40 @@ def test_vanka_fastdiag_scan_equals_dense():
     np.testing.assert_allclose(np.asarray(v_wave.vmult(src)),
                                np.asarray(v_wave_dense.vmult(src)),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_direct_coarse_solver():
+    """coarse_grid_smoother_type='Direct': the assembled-and-inverted
+    coarsest slab operator gives the same FGMRES iteration counts as the
+    reference-style coarse GMRES (measured identical on TPU; pinned here on
+    CPU), at one matmul of runtime cost."""
+    import jax.numpy as jnp
+    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.stmg.gmg import GMGParams, build_stmg
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+
+    import numpy as np
+
+    mesh = StructuredMesh([2, 2], [0, 0], [1, 1], refinement=2)
+    K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0, dtype=jnp.float32)
+    M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0, dtype=jnp.float32)
+    a, b, _, _ = get_fe_time_weights(TimeStepType.DG, 1, 1 / 16, 4)
+    matrix = SystemMatrix(K, M, a, b)
+    rng = np.random.default_rng(0)
+    rhs = matrix.vmult(jnp.asarray(
+        rng.standard_normal((8,) + mesh.dof_shape(2)), jnp.float32))
+    iters = {}
+    for ctype in ("GMRES", "Direct"):
+        gmg = build_stmg(mesh, 1, 2, TimeStepType.DG, 4, 1 / 16,
+                         dtype=jnp.float32, fe_degree_min=1,
+                         params=GMGParams(smoothing_steps=2, variable=False,
+                                          coarse_grid_smoother_type=ctype))
+        res = fgmres(matrix.vmult, rhs, jnp.zeros_like(rhs),
+                     precondition=gmg.vmult, maxiter=40, abstol=1e-30,
+                     reltol=1e-8)
+        assert bool(res.converged)
+        iters[ctype] = int(res.iterations)
+    assert abs(iters["Direct"] - iters["GMRES"]) <= 1
