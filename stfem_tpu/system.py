@@ -30,6 +30,8 @@ class SystemMatrix:
 
     def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
                  Alpha, Beta):
+        import os
+
         assert K_op.mesh is M_op.mesh and K_op.degree == M_op.degree
         self.K = K_op
         self.M = M_op
@@ -39,6 +41,34 @@ class SystemMatrix:
         self.alpha_is_zero = bool(np.all(np.asarray(Alpha) == 0.0))
         self.beta_is_zero = bool(np.all(np.asarray(Beta) == 0.0))
         self.n_blocks = self.Alpha.shape[0]
+
+        # fused quad-level middle (Pallas on TPU): precompute the full-cell
+        # basis matrix and per-cell quadrature weights for every
+        # diagonal-geometry mesh; mapped meshes use the XLA path
+        self._phig = None
+        self._w = None
+        if K_op.jinv is None and os.environ.get("STFEM_NO_PALLAS") != "1":
+            dim, k = K_op.dim, K_op.degree
+            cells = K_op.cells
+            C = int(np.prod(cells))
+            Q = K_op.n_q ** dim
+            qshape = (K_op.n_q,) * dim
+            Phi, Grad = K_op._basis_tensors()
+            PhiG = np.concatenate([Phi] + [Grad[e] for e in range(dim)],
+                                  axis=1)
+            wM = np.asarray(M_op.jxw)
+            if M_op.coeff is not None:
+                wM = wM * np.asarray(M_op.coeff)
+            wK = np.asarray(K_op.jxw)
+            if K_op.coeff is not None:
+                wK = wK * np.asarray(K_op.coeff)
+            parts = [np.broadcast_to(wM, cells + qshape).reshape(C, Q)]
+            for e in range(dim):
+                jf2 = np.asarray(K_op.jfac[e]) ** 2
+                parts.append(np.broadcast_to(wK * jf2,
+                                             cells + qshape).reshape(C, Q))
+            self._phig = jnp.asarray(PhiG, self.dtype)
+            self._w = jnp.asarray(np.concatenate(parts, axis=1), self.dtype)
 
     @property
     def dof_shape(self):
@@ -53,6 +83,15 @@ class SystemMatrix:
         S, D = K.S, K.D
 
         u = cell_gather(x * K.mask, cells, k)
+        if self._phig is not None:
+            from .ops.pallas_kernels import fused_quad_middle
+            C = int(np.prod(cells))
+            A_loc = (k + 1) ** dim
+            u2 = u.reshape(u.shape[0], C, A_loc)
+            y2 = fused_quad_middle(u2, self._phig, self._w, Alpha, Beta,
+                                   K.n_q ** dim)
+            y = y2.reshape((y2.shape[0],) + cells + (k + 1,) * dim)
+            return cell_scatter(y, cells, k) * K.mask
         acc = None
         if not beta_zero:
             w = M.jxw if M.coeff is None else M.jxw * M.coeff
