@@ -123,16 +123,25 @@ def main():
 
     nt = len(tq)
 
+    # force at the Radau points of each blocked step (diagonal-Alpha rule;
+    # the multi-step Alpha is block-diagonal with repeated blocks), batched:
+    # ONE integrate+scatter sweep for the whole slab
+    t_offsets = np.array([tau * (row // nt) + tau * float(tq[row % nt])
+                          for row in range(n_blocks)], np.float32)
+    f_scales = np.array([Alpha[row, row] for row in range(n_blocks)],
+                        np.float32)
+
     def solve_slab(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
         rhs = rhs_matrix_.vmult(prev_x[None])
-        # force at the Radau points of each blocked step (diagonal-Alpha
-        # rule; the multi-step Alpha is block-diagonal with repeated blocks)
-        parts = [force_(t + tau * (row // nt) + tau * float(tq[row % nt]))
-                 * float(Alpha[row, row]) for row in range(n_blocks)]
-        rhs = rhs + jnp.stack(parts)
+        rhs = rhs + force_.batched(t + jnp.asarray(t_offsets),
+                                   jnp.asarray(f_scales))
         x0 = jnp.broadcast_to(prev_x, shape)
         res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
-                     maxiter=40, abstol=1e-30, reltol=1e-8)
+                     maxiter=int(os.environ.get("STFEM_BENCH_MAXITER",
+                                                "24")),
+                     abstol=1e-30, reltol=1e-8,
+                     reorthogonalize=os.environ.get(
+                         "STFEM_BENCH_REORTH", "1") == "1")
         return res.x, res.iterations, res.residual, res.converged
 
     from functools import partial

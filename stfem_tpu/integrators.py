@@ -48,6 +48,18 @@ class ForceAssembler:
         y = _sumfac([self.S] * self.dim, fq, self.dim, forward=False)
         return cell_scatter(y, self.mesh.cells, self.degree) * self.mask
 
+    def batched(self, ts, scales) -> jnp.ndarray:
+        """F for a whole slab at once: ts/scales of shape (n_blocks,) ->
+        (n_blocks, *dofshape) with ONE integrate + scatter sweep (the
+        per-block loop costs n_blocks kernel launches otherwise)."""
+        import jax
+
+        fq = jax.vmap(lambda t: self.rhs_fn(self.coords, t))(ts)
+        fq = fq * self.jxw * scales.reshape(
+            (-1,) + (1,) * (2 * self.dim))
+        y = _sumfac([self.S] * self.dim, fq, self.dim, forward=False)
+        return cell_scatter(y, self.mesh.cells, self.degree) * self.mask
+
 
 @dataclass
 class SolveStats:

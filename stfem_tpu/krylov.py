@@ -38,10 +38,16 @@ def _norm(a):
 
 def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
            precondition: Callable | None = None, maxiter: int = 100,
-           abstol: float = 1e-12, reltol: float = 1e-12) -> FGMRESResult:
+           abstol: float = 1e-12, reltol: float = 1e-12,
+           reorthogonalize: bool = True) -> FGMRESResult:
     """Flexible GMRES without restarting (basis size == maxiter; the
     reference uses basis 100 with <=200 iterations but its configured solves
-    converge well within one cycle)."""
+    converge well within one cycle).
+
+    reorthogonalize=False drops the second Gram-Schmidt pass: halves the
+    basis HBM traffic per iteration (the dominant outer-solver cost once
+    the V-cycle is fast); fine whenever the preconditioner keeps the
+    iteration count well below the basis size."""
     if precondition is None:
         precondition = lambda v: v
     dtype = b.dtype
@@ -74,13 +80,16 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         w = A(z).reshape(-1)
         Z = Z.at[j].set(z.reshape(-1))
 
-        # classical Gram-Schmidt with one reorthogonalization; rows > j of V
-        # are zero so the full-basis contraction is exact
+        # classical Gram-Schmidt (+ optional reorthogonalization); rows > j
+        # of V are zero so the full-basis contraction is exact
         h1 = V @ w
         w = w - V.T @ h1
-        h2 = V @ w
-        w = w - V.T @ h2
-        h = h1 + h2
+        if reorthogonalize:
+            h2 = V @ w
+            w = w - V.T @ h2
+            h = h1 + h2
+        else:
+            h = h1
         wnorm = jnp.linalg.norm(w)
         h = h.at[j + 1].add(wnorm)
         V = V.at[j + 1].set(jnp.where(wnorm > 0, w / jnp.where(
