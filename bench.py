@@ -6,8 +6,11 @@ batches 96 time blocks, amortizing the sequential V-cycle launch chain).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
 is sustained space-time DoF/s per chip for full slab solves (slab-system
-rel. residual 1e-8) and vs_baseline compares against the reference's >1e9
-DoF/s cluster figure (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
+Givens-estimate rel. residual 1e-8; the info line also reports the TRUE
+relative residual, which sits at the f32 attainable floor ~kappa*eps ~ 4e-6
+-- outer-path matmuls run at true-f32 precision, see SystemMatrix) and
+vs_baseline compares against the reference's >1e9 DoF/s cluster figure
+(Readme.md:3) -- i.e. vs_baseline = value / 1e9.
 
 On-chip measured scaling (8^3 cells, Q4 x dG(2)):
 ntao 1 -> 0.9 MDoF/s, 4 -> 2.25, 8 -> 4.36, 16 -> 5.11, 32 -> 8.17,
@@ -189,6 +192,22 @@ def main():
                                      np.float32(0.0), n_slabs)
     _ = float(jnp.sum(last))
     elapsed = max(time.time() - t0 - readback, 1e-9)
+
+    # honest accuracy check (outside the timing): TRUE relative residual of
+    # one slab solve, not just the Givens estimate.  f32 outer Krylov
+    # attains ~kappa * eps_f32 (~1e-6 here); the estimate reads lower.
+    @jax.jit
+    def true_residual(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
+        x, _, _, _ = solve_slab(matrix_, rhs_matrix_, gmg_, force_,
+                                prev_x, t)
+        rhs = rhs_matrix_.vmult(prev_x[None]) + force_.batched(
+            t + jnp.asarray(t_offsets), jnp.asarray(f_scales))
+        r = rhs - matrix_.vmult(x)
+        return (jnp.linalg.norm(r.reshape(-1))
+                / jnp.linalg.norm(rhs.reshape(-1)))
+
+    true_rel = float(true_residual(matrix, rhs_matrix, gmg, force, prev,
+                                   np.float32(0.0)))
     x = last[None]
     iters_np = np.asarray(iters)
     resid = np.asarray(resid)[-1]
@@ -200,6 +219,7 @@ def main():
     info = dict(cells=mesh.n_cells, space_dofs=int(mesh.n_dofs(space_degree)),
                 n_blocks=n_blocks, slabs=n_slabs,
                 avg_iters=total_iters / n_slabs,
+                true_rel_residual=true_rel,
                 final_rel_residual=float(resid),
                 converged=conv, setup_s=round(setup_time, 2),
                 compile_s=round(compile_time, 2),

@@ -51,14 +51,16 @@ class ForceAssembler:
     def batched(self, ts, scales) -> jnp.ndarray:
         """F for a whole slab at once: ts/scales of shape (n_blocks,) ->
         (n_blocks, *dofshape) with ONE integrate + scatter sweep (the
-        per-block loop costs n_blocks kernel launches otherwise)."""
+        per-block loop costs n_blocks kernel launches otherwise).  RHS
+        data feeds the outer Krylov residual: true-f32 products."""
         import jax
 
-        fq = jax.vmap(lambda t: self.rhs_fn(self.coords, t))(ts)
-        fq = fq * self.jxw * scales.reshape(
-            (-1,) + (1,) * (2 * self.dim))
-        y = _sumfac([self.S] * self.dim, fq, self.dim, forward=False)
-        return cell_scatter(y, self.mesh.cells, self.degree) * self.mask
+        with jax.default_matmul_precision("highest"):
+            fq = jax.vmap(lambda t: self.rhs_fn(self.coords, t))(ts)
+            fq = fq * self.jxw * scales.reshape(
+                (-1,) + (1,) * (2 * self.dim))
+            y = _sumfac([self.S] * self.dim, fq, self.dim, forward=False)
+            return cell_scatter(y, self.mesh.cells, self.degree) * self.mask
 
 
 @dataclass

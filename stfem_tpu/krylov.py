@@ -39,7 +39,8 @@ def _norm(a):
 def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
            precondition: Callable | None = None, maxiter: int = 100,
            abstol: float = 1e-12, reltol: float = 1e-12,
-           reorthogonalize: bool = True) -> FGMRESResult:
+           reorthogonalize: bool = True,
+           basis_dtype=None) -> FGMRESResult:
     """Flexible GMRES without restarting (basis size == maxiter; the
     reference uses basis 100 with <=200 iterations but its configured solves
     converge well within one cycle).
@@ -47,7 +48,12 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     reorthogonalize=False drops the second Gram-Schmidt pass: halves the
     basis HBM traffic per iteration (the dominant outer-solver cost once
     the V-cycle is fast); fine whenever the preconditioner keeps the
-    iteration count well below the basis size."""
+    iteration count well below the basis size.
+
+    basis_dtype (e.g. jnp.bfloat16) stores the ORTHONORMAL basis V at
+    reduced precision (Gram-Schmidt arithmetic stays f32 through type
+    promotion); the solution directions Z stay in the working dtype so the
+    returned x is full-precision.  Halves the dominant HBM traffic."""
     if precondition is None:
         precondition = lambda v: v
     dtype = b.dtype
@@ -59,7 +65,8 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     beta = _norm(r0)
     tol = jnp.maximum(abstol, reltol * beta)
 
-    V = jnp.zeros((m + 1, n), dtype)
+    vdtype = basis_dtype or dtype
+    V = jnp.zeros((m + 1, n), vdtype)
     Z = jnp.zeros((m, n), dtype)
     H = jnp.zeros((m + 1, m), dtype)   # Givens-rotated (upper triangular) R
     cs = jnp.zeros(m, dtype)
@@ -75,21 +82,24 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
     def body(state):
         j, V, Z, H, cs, sn, g, res = state
-        v = V[j].reshape(shape)
+        v = V[j].astype(dtype).reshape(shape)
         z = precondition(v)
         w = A(z).reshape(-1)
         Z = Z.at[j].set(z.reshape(-1))
 
         # classical Gram-Schmidt (+ optional reorthogonalization); rows > j
-        # of V are zero so the full-basis contraction is exact
-        h1 = V @ w
-        w = w - V.T @ h1
-        if reorthogonalize:
-            h2 = V @ w
-            w = w - V.T @ h2
-            h = h1 + h2
-        else:
-            h = h1
+        # of V are zero so the full-basis contraction is exact.  True-f32
+        # products (TPU matmuls default to bf16 passes, which breaks the
+        # orthogonality the residual estimate relies on)
+        with jax.default_matmul_precision("highest"):
+            h1 = V @ w
+            w = w - V.T @ h1
+            if reorthogonalize:
+                h2 = V @ w
+                w = w - V.T @ h2
+                h = h1 + h2
+            else:
+                h = h1
         wnorm = jnp.linalg.norm(w)
         h = h.at[j + 1].add(wnorm)
         V = V.at[j + 1].set(jnp.where(wnorm > 0, w / jnp.where(
@@ -134,7 +144,8 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
                   jnp.eye(m, dtype=dtype))
     rhs = jnp.where(mask, g[:m], 0.0)
     y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
-    x = x0 + (Z.T @ y).reshape(shape)
+    with jax.default_matmul_precision("highest"):
+        x = x0 + (Z.T @ y).reshape(shape)
     return FGMRESResult(x=x, iterations=j, residual=res, converged=res <= tol)
 
 

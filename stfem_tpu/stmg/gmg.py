@@ -282,7 +282,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
         K, M = ops_cache[key]
         Alpha_l = fetw[l][0]
         Beta_l = fetw[l][1]
-        matrix = SystemMatrix(K, M, Alpha_l, Beta_l)
+        matrix = SystemMatrix(K, M, Alpha_l, Beta_l, precision=None)
         rt = poly_time[ntd_idx[l]]
         nt_dofs_l = rt + 1 if type_ == TimeStepType.DG else rt
         n_blocks = nt_dofs_l * n_at_once[l]

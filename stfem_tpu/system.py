@@ -29,12 +29,20 @@ class SystemMatrix:
     """
 
     def __init__(self, K_op: LaplaceMassOperator, M_op: LaplaceMassOperator,
-                 Alpha, Beta):
+                 Alpha, Beta, precision: str | None = "highest"):
+        """precision: matmul precision for the apply.  TPU f32 matmuls
+        default to bf16 passes; an OUTER Krylov operator needs true-f32
+        products or the Arnoldi residual estimate silently drifts from the
+        true residual (measured: estimate 1e-8 vs TRUE residual 2e-1 at the
+        bench config).  Preconditioner-internal level operators pass
+        precision=None to keep the fast default -- flexible GMRES tolerates
+        an inexact preconditioner but not an inexact A."""
         import os
 
         assert K_op.mesh is M_op.mesh and K_op.degree == M_op.degree
         self.K = K_op
         self.M = M_op
+        self.precision = precision
         self.dtype = K_op.dtype
         self.Alpha = jnp.asarray(np.asarray(Alpha), self.dtype)
         self.Beta = jnp.asarray(np.asarray(Beta), self.dtype)
@@ -77,6 +85,15 @@ class SystemMatrix:
     def _fused_apply(self, x: jnp.ndarray, Alpha, Beta,
                      alpha_zero: bool, beta_zero: bool) -> jnp.ndarray:
         """x: [n_src_blocks, *dofshape] -> [n_dst_blocks, *dofshape]."""
+        import jax
+
+        if self.precision is not None:
+            with jax.default_matmul_precision(self.precision):
+                return self._fused_apply_impl(x, Alpha, Beta,
+                                              alpha_zero, beta_zero)
+        return self._fused_apply_impl(x, Alpha, Beta, alpha_zero, beta_zero)
+
+    def _fused_apply_impl(self, x, Alpha, Beta, alpha_zero, beta_zero):
         K, M = self.K, self.M
         dim, k = K.dim, K.degree
         cells = K.cells
