@@ -482,7 +482,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
             sop_cache[key] = (S, Mu)
         S, Mu = sop_cache[key]
         a_l, b_l = fetw[l][0], fetw[l][1]
-        matrix = StokesSystemMatrix(S, Mu, a_l, b_l, type_=type_)
+        matrix = StokesSystemMatrix(S, Mu, a_l, b_l, type_=type_,
+                                    precision=None)
         blk = BlockSlice(n_at_once[l], 2, nt_dofs_l)
         T_l = n_at_once[l] * nt_dofs_l
         lvl = _Level(matrix=matrix, smoother=None, n_blocks=T_l,

@@ -27,9 +27,15 @@ class StokesSystemMatrix:
                  a: np.ndarray, b: np.ndarray,
                  gamma: np.ndarray | None = None,
                  zeta: np.ndarray | None = None,
-                 type_: TimeStepType = TimeStepType.DG):
+                 type_: TimeStepType = TimeStepType.DG,
+                 precision: str | None = "highest"):
         """a, b: (T, T) scalar time tables (Alpha/Beta of the scalar system);
-        gamma/zeta: (T, 1) RHS columns for vmult_slice."""
+        gamma/zeta: (T, 1) RHS columns for vmult_slice.
+
+        precision: matmul precision for the apply (see SystemMatrix -- the
+        OUTER operator needs true-f32 products on TPU; preconditioner level
+        operators pass None)."""
+        self.precision = precision
         self.S = stokes_op
         self.M = mass_op
         self.dtype = stokes_op.dtype
@@ -53,6 +59,14 @@ class StokesSystemMatrix:
         """x: [T, n_u + n_p].  For Navier-Stokes pass u_lin ([T, dim, *grid])
         and mode "jacobian"/"form" (reference SystemMatrixStokes
         set_linearization_data + OperatorMode, operators.h:471-500)."""
+        import jax
+
+        if self.precision is not None:
+            with jax.default_matmul_precision(self.precision):
+                return self._vmult_impl(x, u_lin, mode)
+        return self._vmult_impl(x, u_lin, mode)
+
+    def _vmult_impl(self, x, u_lin, mode):
         S = self.S
         u, p = S.unpack(x)
         ru, rp = S.apply(u, p, mode=mode, u_lin=u_lin)
