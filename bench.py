@@ -141,10 +141,12 @@ def main():
         x0 = jnp.broadcast_to(prev_x, shape)
         res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
                      maxiter=int(os.environ.get("STFEM_BENCH_MAXITER",
-                                                "24")),
+                                                "18")),
                      abstol=1e-30, reltol=1e-8,
                      reorthogonalize=os.environ.get(
-                         "STFEM_BENCH_REORTH", "1") == "1")
+                         "STFEM_BENCH_REORTH", "1") == "1",
+                     basis_dtype=jnp.bfloat16 if os.environ.get(
+                         "STFEM_BENCH_VBF16", "0") == "1" else None)
         return res.x, res.iterations, res.residual, res.converged
 
     from functools import partial
