@@ -96,11 +96,8 @@ def main():
             TimeStepType.DG, fe_degree, tau, n_at_once)
         matrix = SystemMatrix(K, M, Alpha, Beta)
         rhs_matrix = SystemMatrix(K, M, np.zeros_like(Gamma), Gamma)
-        # tuned solver knobs (all exposed by the reference's config too):
-        # uniform 2-step relaxation with a fixed-iteration coarse GMRES.
-        # Measured A/B on-chip at 16^3: steps=3 cuts iterations 17->12 but
-        # costs 1.6x wall (9.5s -> 15.4s for 16 slabs) -- Vanka sweeps
-        # dominate, so fewer/cheaper smoothing steps win
+        # tuned solver knobs (A/B matrix in STATUS.md): V(1,1) with 2-sweep
+        # relaxation, Identity levels skipped, direct dense coarse solve
         coarse_type = os.environ.get("STFEM_BENCH_COARSE", "Direct")
         inner_env = os.environ.get("STFEM_BENCH_INNER", "")
         inner = int(inner_env) if inner_env else 2
