@@ -98,6 +98,12 @@ def main():
         rhs_matrix = SystemMatrix(K, M, np.zeros_like(Gamma), Gamma)
         # tuned solver knobs (A/B matrix in STATUS.md): V(1,1) with 2-sweep
         # relaxation, Identity levels skipped, direct dense coarse solve
+        from stfem_tpu.types import SupportedSmoothers
+        smoother_type = (SupportedSmoothers.Chebyshev
+                         if os.environ.get("STFEM_BENCH_SMOOTHER",
+                                           "Relaxation") == "Chebyshev"
+                         else SupportedSmoothers.Relaxation)
+        smoothing_range = float(os.environ.get("STFEM_BENCH_RANGE", "1.0"))
         coarse_type = os.environ.get("STFEM_BENCH_COARSE", "Direct")
         inner_env = os.environ.get("STFEM_BENCH_INNER", "")
         inner = int(inner_env) if inner_env else 2
@@ -106,6 +112,8 @@ def main():
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=smoothing_steps,
                                           variable=False,
+                                          smoother=smoother_type,
+                                          smoothing_range=smoothing_range,
                                           coarse_grid_smoother_type=coarse_type,
                                           vanka_bf16=vanka_bf16,
                                           smoother_inner_iterations=inner,
