@@ -232,6 +232,10 @@ class PreconditionVanka:
                     K_op, M_op, jnp.asarray(flat_idx), vloc,
                     jnp.asarray(a_nt, self.dtype), jnp.asarray(b_nt, self.dtype),
                     jnp.asarray(g_nt, self.dtype), jnp.asarray(z_nt, self.dtype))
+            # t-major apply layout (no 13.8 MB transposes in vmult): store
+            # the valence scaling as (n_blocks, C, A)
+            self.dinv = jnp.transpose(
+                self.dinv.reshape(C, n_blocks, A), (1, 0, 2))
             self.TTinv = None
             self.Binv = None
             if storage_dtype is not None:
@@ -265,41 +269,44 @@ class PreconditionVanka:
             y = jnp.einsum("cij,cj->ci", self.Binv, r)
             A = y.shape[1] // nb
             y = y.reshape(C, nb, A).transpose(1, 0, 2)
+        elif self.Ginv is not None:
+            # block-bidiagonal solve: per-step G^{-1} + O(log S) scalar
+            # recurrence for the step-coupling (see class docstring), in
+            # T-MAJOR layout (the gathered residual's natural order: no
+            # 13.8 MB relayouts).  The nt x nt matvec is UNROLLED into
+            # broadcast FMAs: XLA lowers the equivalent einsum
+            # ("cqij,csjq->csiq") to a transpose-heavy batched matmul that
+            # measures 34x slower on TPU (0.97 ms vs 0.029 ms)
+            C = self.V.shape[0]
+            A = self.V.shape[1]
+            S, nt = self.n_steps, nb // self.n_steps
+            r = r.reshape(nb, C, A) * self.dinv              # D^{-1}
+            w = jnp.einsum("caq,tca->tcq", self.V, r)        # V^T r
+            w = w.reshape(S, nt, C, A)
+            y = jnp.stack(
+                [sum(self.Ginv[:, :, i, j] * w[:, j] for j in range(nt))
+                 for i in range(nt)], axis=1)                # (S, nt, C, A)
+            u = y[:, -1]                                     # (S, C, A)
+            kap = jnp.broadcast_to(self.cvec[:, :, -1], u.shape)
+
+            def comb(first, second):
+                a1, b1 = first
+                a2, b2 = second
+                return a2 * a1, a2 * b1 + b2
+
+            _, last = jax.lax.associative_scan(comb, (kap, u), axis=0)
+            a_prev = jnp.concatenate(
+                [jnp.zeros_like(last[:1]), last[:-1]], axis=0)
+            w = y + a_prev[:, None] * jnp.moveaxis(self.cvec, -1, 0)
+            w = w.reshape(nb, C, A)
+            y = jnp.einsum("caq,tcq->tca", self.V, w)        # V back
         else:
             C = self.V.shape[0]
             A = self.V.shape[1]
             r = r.reshape(nb, C, A).transpose(1, 0, 2)       # [C, nb, A]
             r = r * self.dinv.reshape(C, nb, A)              # D^{-1}
             w = jnp.einsum("caq,cta->ctq", self.V, r)        # V^T r
-            if self.Ginv is not None:
-                # block-bidiagonal solve: per-step G^{-1} + O(log S) scalar
-                # recurrence for the step-coupling (see class docstring).
-                # The nt x nt matvec is UNROLLED into broadcast FMAs: XLA
-                # lowers the equivalent einsum ("cqij,csjq->csiq") to a
-                # transpose-heavy batched matmul that measures 34x slower
-                # on TPU (0.97 ms vs 0.029 ms at the bench shapes)
-                S, nt = self.n_steps, nb // self.n_steps
-                w = w.reshape(C, S, nt, A)
-                y = jnp.stack(
-                    [sum(self.Ginv[:, None, :, i, j] * w[:, :, j]
-                         for j in range(nt))
-                     for i in range(nt)], axis=2)
-                u = y[:, :, -1, :]                           # (C, S, q)
-                kap = jnp.broadcast_to(self.cvec[:, :, -1][:, None, :],
-                                       u.shape)
-
-                def comb(first, second):
-                    a1, b1 = first
-                    a2, b2 = second
-                    return a2 * a1, a2 * b1 + b2
-
-                _, last = jax.lax.associative_scan(comb, (kap, u), axis=1)
-                a_prev = jnp.concatenate(
-                    [jnp.zeros_like(last[:, :1]), last[:, :-1]], axis=1)
-                w = y + a_prev[:, :, None, :] \
-                    * jnp.swapaxes(self.cvec, 1, 2)[:, None]
-                w = w.reshape(C, nb, A)
-            elif nb <= 8:
+            if nb <= 8:
                 # per-eig T x T, unrolled to broadcast FMAs (see above)
                 w = jnp.stack(
                     [sum(self.TTinv[:, :, t, s] * w[:, s]
