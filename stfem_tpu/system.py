@@ -42,6 +42,8 @@ class SystemMatrix:
         assert K_op.mesh is M_op.mesh and K_op.degree == M_op.degree
         self.K = K_op
         self.M = M_op
+        if precision is not None:
+            precision = os.environ.get("STFEM_OUTER_PRECISION", precision)
         self.precision = precision
         self.dtype = K_op.dtype
         self.Alpha = jnp.asarray(np.asarray(Alpha), self.dtype)
