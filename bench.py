@@ -111,7 +111,12 @@ def main():
         gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=smoothing_steps,
-                                          variable=False,
+                                          variable=os.environ.get(
+                                              "STFEM_BENCH_VARIABLE",
+                                              "0") == "1",
+                                          variable_steps_cap=int(
+                                              os.environ.get(
+                                                  "STFEM_BENCH_VCAP", "0")),
                                           smoother=smoother_type,
                                           smoothing_range=smoothing_range,
                                           coarse_grid_smoother_type=coarse_type,
