@@ -122,7 +122,10 @@ def main():
                                           coarse_grid_smoother_type=coarse_type,
                                           vanka_bf16=vanka_bf16,
                                           smoother_inner_iterations=inner,
-                                          skip_identity_levels=skip_id))
+                                          skip_identity_levels=skip_id,
+                                          smooth_all_levels=os.environ.get(
+                                              "STFEM_BENCH_SMOOTHALL",
+                                              "0") == "1"))
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)

@@ -77,6 +77,12 @@ class GMGParams:
     # (reference smoothing DEGREE); None = same as smoothing_steps (the
     # historical wiring, which applies steps twice: degree x MG steps)
     smoother_inner_iterations: int | None = None
+    # Give EVERY level a real smoother instead of the reference's
+    # Identity-on-paired-levels scheme.  Root-caused h-robustness fix:
+    # with Identity levels the full-ladder iteration count grows with
+    # refinement (9/12/17/27 over tf01's refs 2-5, vs the reference's
+    # flat 7-9); with all levels smoothed it is h-flat (9/9/9/11.5).
+    smooth_all_levels: bool = False
 
 
 @register_module
@@ -237,6 +243,8 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
     precond_seq = get_precondition_stmg_types(
         mg_type_level, coarsening_type, time_before_space,
         space_time_level_first, params.smoother)
+    if params.smooth_all_levels:
+        precond_seq = [params.smoother] * len(precond_seq)
 
     if problem == ProblemType.wave:
         fetw = get_fe_time_weights_wave_sequence(
@@ -436,6 +444,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
     precond_seq = get_precondition_stmg_types(
         mg_type_level, coarsening_type, time_before_space,
         space_time_level_first, params.smoother)
+    if params.smooth_all_levels:
+        precond_seq = [params.smoother] * len(precond_seq)
 
     fetw = get_fe_time_weights_sequence(
         type_, time_step, n_timesteps_at_once, mg_type_level, poly_time)
