@@ -152,9 +152,12 @@ def main():
         rhs = rhs + force_.batched(t + jnp.asarray(t_offsets),
                                    jnp.asarray(f_scales))
         x0 = jnp.broadcast_to(prev_x, shape)
+        # default FGMRES basis scales with the problem: 18 suffices at 8^3;
+        # larger grids need more headroom (ADVICE r1)
+        default_maxiter = 18 if cells_per_axis <= 8 else 40
         res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
                      maxiter=int(os.environ.get("STFEM_BENCH_MAXITER",
-                                                "18")),
+                                                str(default_maxiter))),
                      abstol=1e-30, reltol=1e-8,
                      reorthogonalize=os.environ.get(
                          "STFEM_BENCH_REORTH", "1") == "1",

@@ -69,13 +69,21 @@ def run_heat_cycle(refinement: int, fe_degree: int,
                    coefficient=None, compute_errors: bool = True,
                    initial_fn=None, rhs_fn_override=None,
                    do_output: bool = False,
-                   output_prefix: str = "solution") -> CycleResult:
+                   output_prefix: str = "solution",
+                   timer=None) -> CycleResult:
     """One convergence cycle (reference tp_01.cc:56-725).
 
     preconditioner_factory(ctx) -> callable: builds the STMG preconditioner
     from the cycle context dict; None runs unpreconditioned FGMRES.
+    timer: optional utils.timer.TimerOutput -- records "setup" and "step"
+    scopes (the reference's TimerOutput scopes, tp_01.cc:648,709-710; inside
+    one jitted slab solve XLA fuses vmult/vanka/gmg, so the per-step wall
+    time is the honest granularity on TPU).
     """
+    from contextlib import nullcontext
     dim = len(subdivisions)
+    scope = timer.scope if timer is not None else \
+        (lambda *a, **k: nullcontext())
     is_cgp = type_ == TimeStepType.CGP
     space_degree = fe_degree + 1
     n_q = space_degree + 1
@@ -124,7 +132,8 @@ def run_heat_cycle(refinement: int, fe_degree: int,
                    type_=type_, n_timesteps_at_once=n_timesteps_at_once,
                    time_step=time_step, problem=problem, n_q=n_q,
                    refinement=refinement, coefficient=coefficient)
-        precond = preconditioner_factory(ctx)
+        with scope("setup:gmg"):
+            precond = preconditioner_factory(ctx)
 
     if problem == ProblemType.wave:
         step = TimeIntegratorWave(type_, fe_degree, Alpha_1, Beta_1, Gamma_1,
@@ -164,11 +173,15 @@ def run_heat_cycle(refinement: int, fe_degree: int,
     total_iters = 0
     n_slabs = 0
     while time < end_time - 1e-12:
-        if problem == ProblemType.wave:
-            x, v, stats = step.solve_wave(prev_x, prev_v, time, time_step)
-            prev_v = v[-1]
-        else:
-            x, stats = step.solve(prev_x, time, time_step)
+        with scope("step"):
+            if problem == ProblemType.wave:
+                x, v, stats = step.solve_wave(prev_x, prev_v, time,
+                                              time_step)
+                prev_v = v[-1]
+            else:
+                x, stats = step.solve(prev_x, time, time_step)
+            import jax
+            jax.block_until_ready(x)
         assert stats.converged, \
             f"FGMRES stalled at t={time}: {stats}"
         total_iters += stats.iterations

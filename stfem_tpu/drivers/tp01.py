@@ -22,8 +22,11 @@ from .heat import run_heat_cycle, stmg_preconditioner_factory
 def run_config(p: Parameters, precondition_float: bool = True,
                out=sys.stdout):
     import jax.numpy as jnp
+
+    from ..utils.timer import TimerOutput
     table = ConvergenceTable()
     itable_rows = []
+    timer = TimerOutput() if p.print_timing else None
     k0 = p.fe_degree
     for k in range(k0, k0 + p.n_deg_cycles):
         iters_row = {"k \\ r": k}
@@ -51,7 +54,8 @@ def run_config(p: Parameters, precondition_float: bool = True,
                 end_time=p.end_time, frequency=p.frequency,
                 preconditioner_factory=factory,
                 gmres_maxiter=100 if factory else 800,
-                rel_tol=p.rel_tol, extrapolate=p.extrapolate)
+                rel_tol=p.rel_tol, extrapolate=p.extrapolate,
+                timer=timer)
             print(f":: Number of active cells: {res.n_cells}", file=out)
             print(f":: Number of degrees of freedom: {res.n_dofs}", file=out)
             print(f"Average GMRES iterations {res.avg_iterations:g} "
@@ -79,16 +83,23 @@ def run_config(p: Parameters, precondition_float: bool = True,
             print(" ".join(f"{r[c]:7.4f}" if isinstance(r[c], float)
                            else str(r[c]).rjust(7) for c in cols), file=out)
     print("", file=out)
+    if timer is not None:
+        # reference tp_01.cc:709-710 (printTiming -> TimerOutput wall stats)
+        print(timer.summary(), file=out)
+        print("", file=out)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", "-f", default="default")
     ap.add_argument("--dim", "-d", type=int, default=2)
-    ap.add_argument("--precondition_float", "-p", action="store_true",
-                    default=True)
+    # reference CLI takes a value: `--precondition_float 1` / `0`
+    # (tp_01.cc:781-792); 1 = f32 V-cycle under the f64 outer solve
+    ap.add_argument("--precondition_float", "-p", type=int, choices=(0, 1),
+                    default=1)
     ap.add_argument("--log_prefix", "-l", default="proc")
     args = ap.parse_args(argv)
+    args.precondition_float = bool(args.precondition_float)
 
     if args.file == "default":
         test_dir = os.environ.get("STFEM_TESTDIR",

@@ -113,6 +113,9 @@ def compute_drag_lift_mapped(S: StokesOperator, u, p,
     (DFG cylinder): base-grid face quadrature pushed through the analytic
     map; the weighted outward normal comes from Nanson's formula
     n ds = detJ J^{-T} n_ref dxi."""
+    assert S.dg_pressure, \
+        "compute_drag_lift_mapped assumes DGP modal pressure; FE_Q nodal " \
+        "pressure on mapped meshes needs a nodal-trace branch"
     import jax
     import jax.numpy as jnp
     mesh = S.mesh
@@ -201,10 +204,17 @@ def compute_drag_lift_mapped(S: StokesOperator, u, p,
 def compute_divergence_norm(S: StokesOperator, u) -> float:
     """sqrt(int_Omega (div u)^2) over active cells
     (reference operators.h:1391-1439)."""
+    from .stokes import _sumfac
     dim, k = S.dim, S.u_degree
     div_q = 0.0
     for c in range(dim):
         uc = cell_gather(u[c] * S.mask_u, S.cells, k)
+        if S.jinv is None:
+            # Cartesian/diagonal geometry: only d(u_c)/dx_c is needed --
+            # one sum-factorization sweep per component instead of dim
+            mats = [S.D if d == c else S.S for d in range(dim)]
+            div_q = div_q + _sumfac(mats, uc, dim) * S.jfac[c]
+            continue
         div_q = div_q + S._grad_phys(uc)[c]
     val = jnp.sum(S.jxw * div_q ** 2)
     return float(jnp.sqrt(val))
