@@ -63,6 +63,17 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    # true-1e-8 mode (default ON): after the f32 FGMRES solve, run
+    # STFEM_BENCH_IR_PASSES iterative-refinement passes -- f64 residual of
+    # the f64 discretization (TPU f64 is emulated but only ~2 matvecs per
+    # slab), f32 re-solve of the scaled correction (reference semantics:
+    # f64 outer + f32 preconditioner, time_integrators.h:56-59 +
+    # stmg.h:1331-1344).  STFEM_BENCH_IR=0 restores the plain f32 path.
+    use_ir = os.environ.get("STFEM_BENCH_IR", "1") == "1"
+    ir_passes = int(os.environ.get("STFEM_BENCH_IR_PASSES", "1"))
+    ir_maxiter = int(os.environ.get("STFEM_BENCH_IR_MAXITER", "10"))
+    if use_ir:
+        jax.config.update("jax_enable_x64", True)
     cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "8"))
     n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "2"))
     smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "1"))
@@ -129,6 +140,20 @@ def main():
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)
+        matrix64 = rhs_matrix64 = force64 = None
+        if use_ir:
+            # f64 discretization for the refinement residuals (reference
+            # outer-solver precision, time_integrators.h:56-59)
+            K64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                      0.0, 1.0, dtype=jnp.float64)
+            M64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                      1.0, 0.0, dtype=jnp.float64)
+            matrix64 = SystemMatrix(K64, M64, Alpha, Beta)
+            rhs_matrix64 = SystemMatrix(K64, M64, np.zeros_like(Gamma),
+                                        Gamma)
+            force64 = ForceAssembler(mesh, space_degree, space_degree + 1,
+                                     lambda p, t: heat_problem.rhs(p, t, 1.0),
+                                     K.mask_np, dtype=jnp.float64)
     setup_time = time.time() - t0
     print(f"# setup {setup_time:.1f}s", flush=True)
     n_blocks = Alpha.shape[0]
@@ -147,34 +172,79 @@ def main():
     f_scales = np.array([Alpha[row, row] for row in range(n_blocks)],
                         np.float32)
 
+    # default FGMRES basis scales with the problem: 18 suffices at 8^3;
+    # larger grids need more headroom (ADVICE r1)
+    default_maxiter = 18 if cells_per_axis <= 8 else 40
+    bench_maxiter = int(os.environ.get("STFEM_BENCH_MAXITER",
+                                       str(default_maxiter)))
+    reorth = os.environ.get("STFEM_BENCH_REORTH", "1") == "1"
+    vbf16 = jnp.bfloat16 if os.environ.get(
+        "STFEM_BENCH_VBF16", "0") == "1" else None
+
     def solve_slab(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
         rhs = rhs_matrix_.vmult(prev_x[None])
         rhs = rhs + force_.batched(t + jnp.asarray(t_offsets),
                                    jnp.asarray(f_scales))
         x0 = jnp.broadcast_to(prev_x, shape)
-        # default FGMRES basis scales with the problem: 18 suffices at 8^3;
-        # larger grids need more headroom (ADVICE r1)
-        default_maxiter = 18 if cells_per_axis <= 8 else 40
         res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
-                     maxiter=int(os.environ.get("STFEM_BENCH_MAXITER",
-                                                str(default_maxiter))),
+                     maxiter=bench_maxiter,
                      abstol=1e-30, reltol=1e-8,
-                     reorthogonalize=os.environ.get(
-                         "STFEM_BENCH_REORTH", "1") == "1",
-                     basis_dtype=jnp.bfloat16 if os.environ.get(
-                         "STFEM_BENCH_VBF16", "0") == "1" else None)
+                     reorthogonalize=reorth, basis_dtype=vbf16)
         return res.x, res.iterations, res.residual, res.converged
+
+    def solve_slab_ir(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64_,
+                      prev_x, t):
+        """f32 solve + iterative refinement: f64 residual of the f64
+        discretization, f32 re-solve of the unit-scaled correction.
+        prev_x carries slab-to-slab history in f64 (reference outer
+        precision); returns x in f64 with TRUE rel residual <= ~1e-9."""
+        prev64 = prev_x.astype(jnp.float64)
+        x32, iters, resid, conv = solve_slab(matrix_, rhs_matrix_, gmg_,
+                                             force_,
+                                             prev_x.astype(jnp.float32), t)
+        t64 = t.astype(jnp.float64) if hasattr(t, "astype") else t
+        rhs64 = r64_.vmult(prev64[None]) + f64_.batched(
+            t64 + jnp.asarray(t_offsets, jnp.float64),
+            jnp.asarray(f_scales, jnp.float64))
+        rhs_norm = jnp.linalg.norm(rhs64.reshape(-1))
+        x = x32.astype(jnp.float64)
+        total = iters
+        for _ in range(ir_passes):
+            r = rhs64 - m64_.vmult(x)
+            rnorm = jnp.linalg.norm(r.reshape(-1))
+            # unit-scale the correction solve (r ~ 1e-6 * rhs would
+            # underflow f32 Givens machinery otherwise)
+            r32 = (r / rnorm).astype(jnp.float32)
+            res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
+                         precondition=gmg_.vmult, maxiter=ir_maxiter,
+                         abstol=1e-30,
+                         reltol=float(os.environ.get(
+                             "STFEM_BENCH_IR_RTOL", "2e-3")),
+                         reorthogonalize=reorth, basis_dtype=vbf16)
+            x = x + rnorm * res.x.astype(jnp.float64)
+            total = total + res.iterations
+        r = rhs64 - m64_.vmult(x)
+        true_rel = jnp.linalg.norm(r.reshape(-1)) / rhs_norm
+        return x, total, true_rel, conv & (true_rel <= 1e-8)
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(6,))
-    def march(matrix_, rhs_matrix_, gmg_, force_, prev_x, t0_, n):
+    @partial(jax.jit, static_argnums=(9,))
+    def march(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64_,
+              prev_x, t0_, n):
         # the whole time loop lives on-device: ONE dispatch for n slabs
         def step(carry, i):
             prev, t = carry
-            x, iters, resid, conv = solve_slab(matrix_, rhs_matrix_, gmg_,
-                                               force_, prev, t)
-            return (x[-1], t + np.float32(tau * n_at_once)), \
+            if use_ir:
+                x, iters, resid, conv = solve_slab_ir(
+                    matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64_,
+                    prev, t)
+                nxt = x[-1]
+            else:
+                x, iters, resid, conv = solve_slab(
+                    matrix_, rhs_matrix_, gmg_, force_, prev, t)
+                nxt = x[-1]
+            return (nxt, t + np.float32(tau * n_at_once)), \
                 (iters, resid, conv)
         (last, _), (iters, resid, conv) = jax.lax.scan(
             step, (prev_x, t0_), jnp.arange(n))
@@ -189,6 +259,10 @@ def main():
     # re-transfers the patch inverses etc. through the tunnel)
     matrix, rhs_matrix, gmg, force = jax.device_put(
         (matrix, rhs_matrix, gmg, force), tpu)
+    if use_ir:
+        matrix64, rhs_matrix64, force64 = jax.device_put(
+            (matrix64, rhs_matrix64, force64), tpu)
+        prev = prev.astype(jnp.float64)
     print("# compiling slab solve", flush=True)
 
     # warmup/compile (same static slab count as the timed run).  NOTE:
@@ -196,7 +270,8 @@ def main():
     # timings force a scalar readback and subtract the measured readback
     # round-trip latency.
     t0 = time.time()
-    last, iters, resid, conv = march(matrix, rhs_matrix, gmg, force, prev,
+    last, iters, resid, conv = march(matrix, rhs_matrix, gmg, force,
+                                     matrix64, rhs_matrix64, force64, prev,
                                      np.float32(0.0), n_slabs)
     _ = float(jnp.sum(last))
     compile_time = time.time() - t0
@@ -206,7 +281,8 @@ def main():
     readback = time.time() - t0
 
     t0 = time.time()
-    last, iters, resid, conv = march(matrix, rhs_matrix, gmg, force, prev,
+    last, iters, resid, conv = march(matrix, rhs_matrix, gmg, force,
+                                     matrix64, rhs_matrix64, force64, prev,
                                      np.float32(0.0), n_slabs)
     _ = float(jnp.sum(last))
     elapsed = max(time.time() - t0 - readback, 1e-9)
@@ -224,8 +300,13 @@ def main():
         return (jnp.linalg.norm(r.reshape(-1))
                 / jnp.linalg.norm(rhs.reshape(-1)))
 
-    true_rel = float(true_residual(matrix, rhs_matrix, gmg, force, prev,
-                                   np.float32(0.0)))
+    if use_ir:
+        # the IR path's per-slab "residual" IS the true f64 relative
+        # residual of the f64 discretization (computed inside solve_slab_ir)
+        true_rel = float(np.max(np.asarray(resid)))
+    else:
+        true_rel = float(true_residual(matrix, rhs_matrix, gmg, force, prev,
+                                       np.float32(0.0)))
     x = last[None]
     iters_np = np.asarray(iters)
     resid = np.asarray(resid)[-1]

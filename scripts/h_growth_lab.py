@@ -28,8 +28,8 @@ from stfem_tpu.drivers.heat import (run_heat_cycle,  # noqa: E402
                                     stmg_preconditioner_factory)
 from stfem_tpu.stmg.gmg import GMGParams  # noqa: E402
 
-TF01 = os.environ.get("STFEM_TF01",
-                      "/root/reference/tests/json/tf01.json")
+TF01 = os.environ.get("CFG", os.environ.get(
+    "STFEM_TF01", "/root/reference/tests/json/tf01.json"))
 
 _orig_relax = gmgmod.relaxation_parameters
 
@@ -135,6 +135,17 @@ def main():
         elif v == "tbs_ztf":
             run_ladder(refs, v, time_before_space=True,
                        space_time_level_first=False)
+        elif v == "ztf_direct":
+            run_ladder(refs, v, params=GMGParams(
+                coarse_grid_smoother_type="Direct"),
+                space_time_level_first=False)
+        elif v == "ztf_f64":
+            run_ladder(refs, v, precond_dtype=jnp.float64,
+                       space_time_level_first=False)
+        elif v == "ztf_eig40":
+            run_ladder(refs, v, params=GMGParams(
+                smoothing_eig_cg_n_iterations=40),
+                space_time_level_first=False)
         else:
             raise SystemExit(f"unknown variant {v}")
 

@@ -37,7 +37,15 @@ class Parameters:
     nonlinear_extrapolation: NonlinearExtrapolation = \
         NonlinearExtrapolation.Auto
     coarsening_type: CoarseningType = CoarseningType.space_or_time
-    space_time_level_first: bool = True
+    # NOTE deliberate deviation from the CURRENT reference default (true,
+    # parameters.h:49): the committed goldens (tests/tp_01.output) predate
+    # the spaceTimeLevelFirst parameter and are only reproducible with the
+    # time-levels-deep ladder ordering (zip_from_back=false), which is also
+    # the h-robust one -- with tau levels near the fine end the iteration
+    # counts GROW with refinement (measured: 9/12/17/27 vs flat 9/9/8/7.94
+    # over tf01 refs 2-5; scripts/h_growth_lab.py).  Set the JSON key
+    # explicitly to override.
+    space_time_level_first: bool = False
     use_pmg: bool = False
     poly_coarsening: PolynomialCoarseningSequenceType = \
         PolynomialCoarseningSequenceType.bisect

@@ -78,10 +78,16 @@ class GMGParams:
     # historical wiring, which applies steps twice: degree x MG steps)
     smoother_inner_iterations: int | None = None
     # Give EVERY level a real smoother instead of the reference's
-    # Identity-on-paired-levels scheme.  Root-caused h-robustness fix:
-    # with Identity levels the full-ladder iteration count grows with
-    # refinement (9/12/17/27 over tf01's refs 2-5, vs the reference's
-    # flat 7-9); with all levels smoothed it is h-flat (9/9/9/11.5).
+    # Identity-on-paired-levels scheme.  NOT needed for h-robustness: the
+    # round-2 root cause of the h-growth was the LADDER ORDERING
+    # (space_time_level_first) -- with tau levels deep in the ladder
+    # (zip_from_back=false, the golden-era default) the faithful
+    # Identity-pairing scheme is h-flat (9/9/8/7.94 over tf01 refs 2-5 vs
+    # goldens 7/9/8.75/7.875); with tau near the fine end NOTHING fixes the
+    # growth (all-smoothed: 9/9/9.5/12; measured, scripts/h_growth_lab.py
+    # + tau_twogrid_lab.py: the stuck modes are spatially-smooth x
+    # inter-step-jump, undamped by any omega and unrepresentable after
+    # tau-coarsening).  Kept as an experiment knob.
     smooth_all_levels: bool = False
 
 
@@ -198,7 +204,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                params: GMGParams | None = None, dtype=jnp.float32,
                coarsening_type: CoarseningType = CoarseningType.space_and_time,
                time_before_space: bool = False,
-               space_time_level_first: bool = True,
+               space_time_level_first: bool = False,
                use_pmg: bool = True,
                fe_degree_min: int | None = None,
                n_timesteps_at_once_min: int | None = None,
