@@ -70,7 +70,12 @@ def run_heat_cycle(refinement: int, fe_degree: int,
                    initial_fn=None, rhs_fn_override=None,
                    do_output: bool = False,
                    output_prefix: str = "solution",
-                   timer=None) -> CycleResult:
+                   timer=None,
+                   dirichlet_g=None, boundary_lift: bool = True,
+                   exact_override=None,
+                   initial_v_fn=None,
+                   probe_points=None,
+                   functionals_path: str | None = None) -> CycleResult:
     """One convergence cycle (reference tp_01.cc:56-725).
 
     preconditioner_factory(ctx) -> callable: builds the STMG preconditioner
@@ -94,7 +99,9 @@ def run_heat_cycle(refinement: int, fe_degree: int,
                           distort=distort_grid)
     # reference tp_01.cc:87,105-108: timestep from the UNREFINED cell size
     spc_step = mesh.coarse_cell_diameter / np.sqrt(dim)
-    n_steps = int(end_time / spc_step)
+    # guard: the reference's integer division assumes end_time >= spc_step
+    # (true for every shipped config); short-horizon runs get one step
+    n_steps = max(int(end_time / spc_step), 1)
     time_step = end_time * 2.0 ** (-(refinement + 1)) / n_steps
 
     K = LaplaceMassOperator(mesh, space_degree, n_q, 0.0, 1.0,
@@ -135,6 +142,14 @@ def run_heat_cycle(refinement: int, fe_degree: int,
         with scope("setup:gmg"):
             precond = preconditioner_factory(ctx)
 
+    bv = None
+    if dirichlet_g is not None:
+        from ..ops.boundary import SlabBoundaryValues
+        assert problem != ProblemType.wave, \
+            "strong inhomogeneous Dirichlet wired for first-order problems"
+        bv = SlabBoundaryValues(mesh, space_degree, dirichlet_g, type_,
+                                fe_degree, time_step, n_timesteps_at_once,
+                                mask=K.mask_np)
     if problem == ProblemType.wave:
         step = TimeIntegratorWave(type_, fe_degree, Alpha_1, Beta_1, Gamma_1,
                                   Zeta_1, rel_tol, matrix, precond,
@@ -145,16 +160,22 @@ def run_heat_cycle(refinement: int, fe_degree: int,
         step = TimeIntegratorFO(type_, fe_degree, Alpha_1, Gamma_1, rel_tol,
                                 matrix, precond, rhs_matrix, force,
                                 n_timesteps_at_once, extrapolate,
-                                maxiter=gmres_maxiter)
+                                maxiter=gmres_maxiter,
+                                boundary_values=bv,
+                                boundary_lift=boundary_lift)
 
     # the reference under-integrates the error norms with QGauss(fe_degree+1)
     # (ErrorCalculator gets space_degree=fe_degree, tp_01.cc:809-815) -- we
     # replicate this for golden parity
+    if exact_override is not None:
+        exact_fn, exact_grad_fn = exact_override
+    else:
+        exact_fn = lambda p, t: heat_problem.exact_solution(p, t, f)
+        exact_grad_fn = lambda p, t: heat_problem.exact_gradient(p, t, f)
     err = None
     if compute_errors:
         err = ErrorCalculator(mesh, type_, fe_degree, space_degree,
-                              lambda p, t: heat_problem.exact_solution(p, t, f),
-                              lambda p, t: heat_problem.exact_gradient(p, t, f),
+                              exact_fn, exact_grad_fn,
                               n_q=fe_degree + 1)
 
     coords = jnp.asarray(mesh.dof_coordinates(space_degree))
@@ -162,9 +183,25 @@ def run_heat_cycle(refinement: int, fe_degree: int,
     if initial_fn is not None:
         prev_x = jnp.asarray(initial_fn(np.asarray(coords)))
     else:
-        prev_x = heat_problem.exact_solution(coords, 0.0, f)
-    prev_v = heat_problem.wave_exact_v(coords, 0.0, f) \
-        if problem == ProblemType.wave else None
+        prev_x = exact_fn(coords, 0.0)
+    if problem == ProblemType.wave:
+        prev_v = jnp.asarray(initial_v_fn(np.asarray(coords))) \
+            if initial_v_fn is not None \
+            else heat_problem.wave_exact_v(coords, 0.0, f)
+    else:
+        prev_v = None
+
+    # point probes -> functionals file (reference tp_01.cc:449-481,584-635:
+    # RemotePointEvaluation + dense time-resampling; here a Cartesian-mesh
+    # dense contraction, utils/probes.py)
+    pe = writer = None
+    if probe_points is not None:
+        from ..utils.probes import FunctionalsWriter, PointEvaluator
+        pe = PointEvaluator(mesh, space_degree, probe_points)
+        # appends across cycles like the reference (tp_01.cc:620 ios::app);
+        # the config driver truncates once per config run
+        writer = FunctionalsWriter(functionals_path, type_, fe_degree)
+        prev_probe = pe(prev_x)
 
     time = 0.0
     l2 = 0.0
@@ -191,6 +228,13 @@ def run_heat_cycle(refinement: int, fe_degree: int,
             l2 += float(e["l2"])
             h1 += float(e["h1_semi"])
             linf = max(linf, float(e["linf"]))
+        if pe is not None:
+            for it in range(n_timesteps_at_once):
+                vals = np.stack([pe(x[it * nt_dofs + i])
+                                 for i in range(nt_dofs)])
+                writer.write_step(time + it * time_step, time_step, vals,
+                                  prev_probe if is_cgp else None)
+                prev_probe = vals[-1]
         prev_x = x[-1]
         time += n_timesteps_at_once * time_step
         n_slabs += 1

@@ -345,13 +345,21 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
                    n_timesteps_at_once: int = 1, viscosity: float = 1.0,
                    end_time: float = 2.0, u_max: float = 1.0,
                    preconditioner_factory=None, gmres_maxiter: int = 100,
-                   rel_tol: float = 1e-8, n_slabs_max: int | None = None):
-    """Lid-driven cavity with a weakly (Nitsche) imposed moving wall.
+                   rel_tol: float = 1e-8, n_slabs_max: int | None = None,
+                   strong_bc: bool = False, boundary_lift: bool = True):
+    """Lid-driven cavity with a moving wall, weak (Nitsche) or strong.
 
     Reference setup (tests/json/tf05stokes.json + stokes::LidDriven,
     stokes.h:72-99): boundary id 1 (x = x_max face) moves tangentially with
-    u_y = u_max * sin(pi t / 4); all other walls no-slip.  Here the moving
-    wall is the weak face, the other walls are strongly eliminated.
+    u_y = u_max * sin(pi t / 4); all other walls no-slip.  The shipped lid
+    config runs nitscheBoundary=true (weak); the reference's strong path
+    interpolates g at every (timestep, time-dof) quadrature time, zeroes the
+    constrained entries before the slab solve and pastes the values after
+    (tp_03stokes.cc:1022-1046, operators.h:2103-2223).  strong_bc=True
+    replicates that scheme; boundary_lift=True additionally applies the
+    mathematically consistent lift rhs -= A x_g on interior rows (the
+    reference omits it -- its matrix-free reads constrained dofs as zero, so
+    the pasted data never feeds the interior equations; see ops/boundary.py).
     Returns per-slab iteration counts and the final (u, p) fields.
     """
     dim = 2
@@ -367,7 +375,8 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
     tau = end_time * 2.0 ** (-(refinement + 1)) / n_steps
     T = nt * n_timesteps_at_once
 
-    weak_faces = ((0, 1),)   # x = x_max: the moving wall (boundary id 1)
+    # x = x_max: the moving wall (boundary id 1); strong mode eliminates it
+    weak_faces = () if strong_bc else ((0, 1),)
     S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
                        weak_faces=weak_faces)
     Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
@@ -424,15 +433,56 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
                    n_q=n_q, refinement=refinement, weak_faces=weak_faces)
         precond = preconditioner_factory(ctx)
 
+    # strong mode: lid values supported on the moving-wall dofs EXCLUDING
+    # the cavity corners (the reference's no-slip zero constraints are added
+    # first and win there, operators.h:2110-2112)
+    if strong_bc:
+        from ..ops.boundary import slab_time_offsets
+        cu = mesh.dof_coordinates(u_degree)
+        on_wall = np.isclose(cu[..., 0], 1.0)
+        on_other = (np.isclose(cu[..., 0], 0.0) | np.isclose(cu[..., 1], 0.0)
+                    | np.isclose(cu[..., 1], 1.0))
+        lid = jnp.asarray((on_wall & ~on_other).astype(S.dtype))
+        t_offsets = jnp.asarray(slab_time_offsets(
+            type_, fe_degree, tau, n_timesteps_at_once), S.dtype)
+        u_mask_flat = jnp.concatenate(
+            [jnp.broadcast_to(S.mask_u, (dim,) + S.dof_shape_u).reshape(-1),
+             jnp.ones((S.n_p,), S.dtype)])
+
+        def xg_blocks(time):
+            """[T, n_u+n_p] boundary-supported g at every block time."""
+            amps = u_max * jnp.sin(np.pi * (time + t_offsets) / 4.0)
+            gy = amps[:, None, None] * lid[None]
+            gu = jnp.stack([jnp.zeros_like(gy), gy], axis=1)
+            return jnp.concatenate(
+                [gu.reshape(T, -1), jnp.zeros((T, S.n_p), S.dtype)], axis=1)
+
     @jax.jit
     def solve_slab(matrix_, rhs_matrix_, precond_, prev_flat, time):
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
         prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
-        rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
-        rhs = rhs + assemble_nitsche_rhs(time)
-        x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
+        if strong_bc:
+            x_g = xg_blocks(time)
+            if boundary_lift:
+                # consistent lift: prev read unmasked (its pasted boundary
+                # values feed the time coupling) and rhs -= A x_g
+                rhs = rhs_matrix_.vmult_slice(prev_u, prev_p,
+                                              mask_input=False)
+                rhs = rhs - matrix_.vmult(x_g, mask_input=False)
+            else:
+                # reference paste scheme (constrained dofs read as zero)
+                rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
+            x0 = jnp.broadcast_to(prev_flat * u_mask_flat,
+                                  (T, prev_flat.size))
+        else:
+            rhs = rhs_matrix_.vmult_slice(prev_u, prev_p)
+            rhs = rhs + assemble_nitsche_rhs(time)
+            x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
         res = fgmres(matrix_.vmult, rhs, x0, precondition=precond_,
                      maxiter=gmres_maxiter, abstol=1e-12, reltol=rel_tol)
+        if strong_bc:
+            # reference set_inhomogeneity after the solve
+            res = res._replace(x=res.x * u_mask_flat[None] + xg_blocks(time))
         return res
 
     prev_flat = jnp.zeros(S.n_u + S.n_p)

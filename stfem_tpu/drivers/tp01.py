@@ -19,57 +19,94 @@ from ..utils.tables import ConvergenceTable
 from .heat import run_heat_cycle, stmg_preconditioner_factory
 
 
-def run_config(p: Parameters, precondition_float: bool = True,
-               out=sys.stdout):
+def run_single(p: Parameters, k: int, ref: int,
+               precondition_float: bool = True, timer=None):
+    """One (degree, refinement) cell of the tp_01 sweep (reference
+    tests/tp_01.cc:735-742 convergence-cycle body)."""
     import jax.numpy as jnp
 
+    factory = None
+    if p.space_time_mg:
+        factory = stmg_preconditioner_factory(
+            dtype=jnp.float32 if precondition_float else jnp.float64,
+            params=p.mg_data,
+            coarsening_type=p.coarsening_type,
+            time_before_space=p.time_before_space,
+            space_time_level_first=p.space_time_level_first,
+            use_pmg=p.use_pmg,
+            # golden-era conventions (see SURVEY.md section 6):
+            # time-k floor at degree >= 1, space-p bisect to Q1
+            fe_degree_min=max(p.fe_degree_min, 1),
+            poly_coarsening=p.poly_coarsening)
+    extra = {}
+    if not p.space_time_conv_test:
+        # practical mode (reference tp_01.cc:118,374-381,556): initial value
+        # = unit-integral C-inf bump at sourcePoint, zero rhs, heterogeneous
+        # coefficient on K, no error norms; point probes -> functionals file
+        import numpy as np
+        from ..problems.coefficient import Coefficient
+        from ..problems.heat import cutoff_cinfty
+        src = p.source if p.source is not None else (0.0,) * p.dim
+        extra = dict(
+            coefficient=Coefficient(p.subdivisions, p.hyperrect_lower_left,
+                                    p.hyperrect_upper_right,
+                                    p.distort_coeff),
+            initial_fn=lambda c: np.asarray(
+                cutoff_cinfty(jnp.asarray(c), src)),
+            initial_v_fn=lambda c: np.zeros(c.shape[:-1]),
+            rhs_fn_override=lambda pts, t: jnp.zeros(pts.shape[:-1]),
+            compute_errors=False,
+            # reference probe points (tp_01.cc:449-453)
+            probe_points=([(0.75, 0.0)] if p.dim == 2 else
+                          [(0.75, 0.0, 0.0), (0.0, 0.0, 0.75),
+                           (0.75, 0.1, 0.75)]),
+            functionals_path=p.functional_file,
+            do_output=p.do_output)
+    return run_heat_cycle(
+        refinement=ref, fe_degree=k, type_=p.type,
+        problem=p.problem,
+        n_timesteps_at_once=p.n_timesteps_at_once,
+        subdivisions=p.subdivisions,
+        lower=p.hyperrect_lower_left,
+        upper=p.hyperrect_upper_right,
+        end_time=p.end_time, frequency=p.frequency,
+        preconditioner_factory=factory,
+        gmres_maxiter=100 if factory else 800,
+        rel_tol=p.rel_tol, extrapolate=p.extrapolate,
+        timer=timer, **extra)
+
+
+def run_config(p: Parameters, precondition_float: bool = True,
+               out=sys.stdout):
     from ..utils.timer import TimerOutput
     table = ConvergenceTable()
     itable_rows = []
     timer = TimerOutput() if p.print_timing else None
+    if not p.space_time_conv_test and os.path.exists(p.functional_file):
+        os.remove(p.functional_file)
     k0 = p.fe_degree
     for k in range(k0, k0 + p.n_deg_cycles):
         iters_row = {"k \\ r": k}
         for ref in range(p.refinement, p.refinement + p.n_ref_cycles):
-            factory = None
-            if p.space_time_mg:
-                factory = stmg_preconditioner_factory(
-                    dtype=jnp.float32 if precondition_float else jnp.float64,
-                    params=p.mg_data,
-                    coarsening_type=p.coarsening_type,
-                    time_before_space=p.time_before_space,
-                    space_time_level_first=p.space_time_level_first,
-                    use_pmg=p.use_pmg,
-                    # golden-era conventions (see SURVEY.md section 6):
-                    # time-k floor at degree >= 1, space-p bisect to Q1
-                    fe_degree_min=max(p.fe_degree_min, 1),
-                    poly_coarsening=p.poly_coarsening)
-            res = run_heat_cycle(
-                refinement=ref, fe_degree=k, type_=p.type,
-                problem=p.problem,
-                n_timesteps_at_once=p.n_timesteps_at_once,
-                subdivisions=p.subdivisions,
-                lower=p.hyperrect_lower_left,
-                upper=p.hyperrect_upper_right,
-                end_time=p.end_time, frequency=p.frequency,
-                preconditioner_factory=factory,
-                gmres_maxiter=100 if factory else 800,
-                rel_tol=p.rel_tol, extrapolate=p.extrapolate,
-                timer=timer)
+            res = run_single(p, k, ref, precondition_float, timer)
             print(f":: Number of active cells: {res.n_cells}", file=out)
             print(f":: Number of degrees of freedom: {res.n_dofs}", file=out)
             print(f"Average GMRES iterations {res.avg_iterations:g} "
                   f"({res.total_iterations} gmres_iterations / "
                   f"{res.n_timesteps} timesteps)\n", file=out)
-            table.add_row(**{
+            row = {
                 "cells": res.n_cells, "s-dofs": res.n_dofs,
                 "t-dofs": res.n_blocks, "st-dofs": res.st_dofs,
-                "work": res.st_dofs // res.n_blocks * res.total_iterations,
-                "L∞-L∞": res.linf_linf,
-                "L2-L2": res.l2_l2, "L2-H1_semi": res.l2_h1})
+                "work": res.st_dofs // res.n_blocks * res.total_iterations}
+            if p.space_time_conv_test:
+                # error columns only in convergence mode (tp_01.cc:357,387)
+                row.update({"L∞-L∞": res.linf_linf, "L2-L2": res.l2_l2,
+                            "L2-H1_semi": res.l2_h1})
+            table.add_row(**row)
             iters_row[str(ref)] = res.avg_iterations
-        for c in ("L∞-L∞", "L2-L2", "L2-H1_semi"):
-            table.evaluate_convergence_rates(c)
+        if p.space_time_conv_test:
+            for c in ("L∞-L∞", "L2-L2", "L2-H1_semi"):
+                table.evaluate_convergence_rates(c)
         print(f"Convergence table k={k}", file=out)
         print(table.text(), file=out)
         print("", file=out)

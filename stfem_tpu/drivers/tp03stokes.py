@@ -25,6 +25,32 @@ def parse_stokes_extra(path: str) -> StokesParameters:
     return StokesParameters()
 
 
+def run_single(p: Parameters, stokes_extra: StokesParameters, k: int,
+               ref: int):
+    """One (degree, refinement) cell of the tp_03stokes sweep."""
+    factory = None
+    if p.space_time_mg:
+        def factory(ctx):
+            return build_stmg_stokes(
+                ctx["mesh"], ctx["fe_degree"], ctx["type_"],
+                ctx["n_timesteps_at_once"], ctx["time_step"],
+                viscosity=ctx["viscosity"], params=p.mg_data,
+                coarsening_type=p.coarsening_type,
+                time_before_space=p.time_before_space,
+                space_time_level_first=p.space_time_level_first,
+                use_pmg=p.use_pmg,
+                fe_degree_min=max(p.fe_degree_min, 1))
+    return run_stokes_cycle(
+        refinement=ref, fe_degree=k, type_=p.type,
+        n_timesteps_at_once=p.n_timesteps_at_once,
+        viscosity=stokes_extra.viscosity,
+        end_time=p.end_time,
+        mean_pressure=stokes_extra.mean_pressure,
+        preconditioner_factory=factory,
+        gmres_maxiter=100 if factory else 1000,
+        rel_tol=p.rel_tol, extrapolate=p.extrapolate)
+
+
 def run_config(p: Parameters, stokes_extra: StokesParameters,
                out=sys.stdout):
     table = ConvergenceTable()
@@ -32,27 +58,7 @@ def run_config(p: Parameters, stokes_extra: StokesParameters,
     for k in range(p.fe_degree, p.fe_degree + p.n_deg_cycles):
         iters_row = {"k \\ r": k}
         for ref in range(p.refinement, p.refinement + p.n_ref_cycles):
-            factory = None
-            if p.space_time_mg:
-                def factory(ctx):
-                    return build_stmg_stokes(
-                        ctx["mesh"], ctx["fe_degree"], ctx["type_"],
-                        ctx["n_timesteps_at_once"], ctx["time_step"],
-                        viscosity=ctx["viscosity"], params=p.mg_data,
-                        coarsening_type=p.coarsening_type,
-                        time_before_space=p.time_before_space,
-                        space_time_level_first=p.space_time_level_first,
-                        use_pmg=p.use_pmg,
-                        fe_degree_min=max(p.fe_degree_min, 1))
-            res = run_stokes_cycle(
-                refinement=ref, fe_degree=k, type_=p.type,
-                n_timesteps_at_once=p.n_timesteps_at_once,
-                viscosity=stokes_extra.viscosity,
-                end_time=p.end_time,
-                mean_pressure=stokes_extra.mean_pressure,
-                preconditioner_factory=factory,
-                gmres_maxiter=100 if factory else 1000,
-                rel_tol=p.rel_tol, extrapolate=p.extrapolate)
+            res = run_single(p, stokes_extra, k, ref)
             print(f"\n:: Number of active cells: {res.n_cells}", file=out)
             print(f":: Number of u degrees of freedom: {res.n_dofs_u}",
                   file=out)

@@ -84,7 +84,15 @@ class TimeIntegratorFO:
                  gmres_reltol: float, matrix, preconditioner,
                  rhs_matrix, force: ForceAssembler,
                  n_timesteps_at_once: int, extrapolate: bool = True,
-                 abstol: float = 1e-12, maxiter: int = 100):
+                 abstol: float = 1e-12, maxiter: int = 100,
+                 boundary_values=None, boundary_lift: bool = True):
+        """boundary_values: optional ops.boundary.SlabBoundaryValues for
+        strong inhomogeneous time-dependent Dirichlet data (reference
+        tp_03stokes.cc:1022-1046 set-zero/solve/paste scheme).
+        boundary_lift=True additionally applies the consistent lift
+        rhs -= A x_g on interior rows (the reference omits it — its
+        matrix-free reads constrained dofs as zero — which is only
+        consistent for g == 0; see ops/boundary.py)."""
         self.type_ = type_
         self.time_degree = time_degree
         self.quad_time = get_time_quad(type_, time_degree)[0]
@@ -101,6 +109,8 @@ class TimeIntegratorFO:
         self.nt_dofs = (time_degree + 1 if type_ == TimeStepType.DG
                         else time_degree)
         self.extrapolate = extrapolate
+        self.boundary_values = boundary_values
+        self.boundary_lift = boundary_lift
 
     # reference include/time_integrators.h:73-110 (exploits diagonal Alpha)
     def assemble_force(self, time, time_step) -> jnp.ndarray:
@@ -136,13 +146,27 @@ class TimeIntegratorFO:
         return jnp.zeros((n_blocks,) + prev_x.shape, prev_x.dtype)
 
     def _solve_impl(self, prev_x, time, time_step):
-        rhs = self.rhs_matrix.vmult(prev_x[None])
-        rhs = rhs + self.assemble_force(time, time_step)
+        bv = self.boundary_values
+        if bv is not None and self.boundary_lift:
+            # consistent strong-Dirichlet: the rhs sees the raw previous
+            # value (incl. its boundary data) and the lift -A x_g
+            x_g = bv.blocks(time)
+            rhs = self.rhs_matrix.vmult(prev_x[None], mask_input=False)
+            rhs = rhs + self.assemble_force(time, time_step)
+            rhs = rhs - self.matrix.vmult(x_g, mask_input=False)
+        else:
+            rhs = self.rhs_matrix.vmult(prev_x[None])
+            rhs = rhs + self.assemble_force(time, time_step)
         x0 = self._extrapolate(prev_x)
+        if bv is not None:
+            x0 = bv.set_zero(x0)
         res = fgmres(self.matrix.vmult, rhs, x0,
                      precondition=self.preconditioner,
                      maxiter=self.maxiter, abstol=self.abstol,
                      reltol=self.reltol)
+        if bv is not None:
+            x_g = bv.blocks(time)
+            res = res._replace(x=bv.paste(res.x, x_g))
         return res
 
     def solve(self, prev_x: jnp.ndarray, time: float,

@@ -80,18 +80,25 @@ def _middle_kernel(ub_ref, ua_ref, phig_ref, phigT_ref, w_ref, out_ref,
 
 
 def fused_quad_middle(u, PhiG, W, Alpha, Beta, n_q_pts: int,
-                      cell_chunk: int = 16):
+                      cell_chunk: int = 16, mix=None):
     """u: (T, C, A) cell-gathered blocks -> (T_dst, C, A) integrated locals.
 
     PhiG: (A, (1+dim)Q) basis values+gradients at quad points;
     W: (C, (1+dim)Q) quadrature weights (mass part cols [:Q], stiffness
     cols [Q:], with jfac^2 and coefficients folded in);
     Alpha/Beta: (T_dst, T) time-block mixing tables.
+    mix: optional (mix_beta, mix_alpha) callables replacing the dense
+    premix (structure-aware block-bidiagonal mixing from SystemMatrix).
     """
     import os
 
     T_src, C, A = u.shape
     T_dst = Alpha.shape[0]
+    if mix is not None:
+        mix_b, mix_a = mix
+        premix = lambda v: (mix_b(v), mix_a(v))
+    else:
+        premix = lambda v: _premix(v, Alpha, Beta)
     # Measured on-chip at the bench shapes: the restructured XLA path
     # (premix + two full-basis matmul pairs) runs 0.24 ms vs 0.45 ms for
     # the explicit Pallas kernel (XLA pipelines the HBM traffic better than
@@ -100,12 +107,18 @@ def fused_quad_middle(u, PhiG, W, Alpha, Beta, n_q_pts: int,
     if (not HAVE_PALLAS
             or os.environ.get("STFEM_PALLAS_MIDDLE") != "1"
             or jax.default_backend() not in ("tpu", "axon")):
-        return _middle_reference(u, PhiG, W, Alpha, Beta, n_q_pts)
+        Q = n_q_pts
+        ub, ua = premix(u)
+        qv = jnp.einsum("tca,aq->tcq", ub, PhiG[:, :Q])
+        qg = jnp.einsum("tca,aq->tcq", ua, PhiG[:, Q:])
+        yv = jnp.einsum("tcq,aq->tca", qv * W[None, :, :Q], PhiG[:, :Q])
+        yg = jnp.einsum("tcq,aq->tca", qg * W[None, :, Q:], PhiG[:, Q:])
+        return yv + yg
     while C % cell_chunk:
         cell_chunk //= 2
     grid = (C // cell_chunk,)
     nq_all = PhiG.shape[1]
-    ub, ua = _premix(u, Alpha, Beta)
+    ub, ua = premix(u)
     return pl.pallas_call(
         partial(_middle_kernel, n_q_pts=n_q_pts),
         out_shape=jax.ShapeDtypeStruct((T_dst, C, A), u.dtype),

@@ -183,11 +183,14 @@ class LaplaceMassOperator:
         return coefficient_fun(pts)
 
     # ----------------------------------------------------------------------
-    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = mask . A (mask . x); x has shape [..., *dofshape]."""
+    def apply(self, x: jnp.ndarray, mask_input: bool = True) -> jnp.ndarray:
+        """y = mask . A (mask . x); x has shape [..., *dofshape].
+        mask_input=False reads boundary dofs too (strong-Dirichlet lift,
+        see ops/boundary.py); output rows stay interior-masked."""
         cM, cK = self.mass_scaling, self.laplace_scaling
         dim, k = self.dim, self.degree
-        x = x * self.mask
+        if mask_input:
+            x = x * self.mask
         u = cell_gather(x, self.cells, k)
         S, D = self.S, self.D
 

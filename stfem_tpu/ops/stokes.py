@@ -221,18 +221,21 @@ class StokesOperator:
 
     # -- apply --------------------------------------------------------------
     def apply(self, u: jnp.ndarray, p: jnp.ndarray, mode: str = "none",
-              u_lin: jnp.ndarray | None = None):
+              u_lin: jnp.ndarray | None = None, mask_input: bool = True):
         """(ru, rp); u: [..., dim, *dofgrid], p: [..., *cells, nploc].
 
         mode: "none" (linear Stokes), "jacobian" (Navier linearization:
         gradient term -= u_lin (x) du + du (x) u_lin) or "form" (nonlinear
         residual: -= du (x) u_lin with du = u); reference OperatorMode
         dispatch, operators.h:1530-1567.
+        mask_input=False reads Dirichlet-eliminated u dofs too (the
+        strong-Dirichlet lift path, ops/boundary.py); outputs stay masked.
         """
         dim, k = self.dim, self.u_degree
         S, D = self.S, self.D
         nu = self.viscosity
-        u = u * self.mask_u
+        if mask_input:
+            u = u * self.mask_u
         p_q = self._p_at_quad(p)
         navier = mode in ("jacobian", "form")
 

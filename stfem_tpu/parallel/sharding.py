@@ -57,3 +57,39 @@ def block_vector_spec(mesh: Mesh, dim: int) -> PartitionSpec:
 def shard_block_vector(x, mesh: Mesh):
     dim = x.ndim - 1
     return jax.device_put(x, NamedSharding(mesh, block_vector_spec(mesh, dim)))
+
+
+def level_sharding_policy(mesh: Mesh, gmg,
+                          min_dofs_per_device: int = 512):
+    """Explicit per-level shardings for the STMG V-cycle.
+
+    Fine levels shard the spatial dof axes over the device mesh; once a
+    level holds fewer than min_dofs_per_device spatial dofs per device the
+    level (and everything below) is REPLICATED -- tiny coarse problems are
+    cheaper recomputed everywhere than communicated, mirroring the
+    reference's coarse-level repartitioning (RepartitioningPolicy /
+    per-level partitioners, include/stmg.h:563-586).
+
+    Returns a list (len = n_levels) of NamedShardings to install with
+    install_level_shardings(gmg, ...).
+    """
+    n_dev = int(np.prod([s for s in mesh.devices.shape]))
+    out = []
+    for lvl in gmg.levels:
+        n_space = int(np.prod(lvl.dof_shape))
+        if n_space >= min_dofs_per_device * n_dev:
+            spec = block_vector_spec(mesh, len(lvl.dof_shape))
+        else:
+            spec = PartitionSpec()  # replicated
+        out.append(NamedSharding(mesh, spec))
+    return out
+
+
+def install_level_shardings(gmg, shardings):
+    """Attach per-level shardings to a GMG (its V-cycle then pins each
+    level's defect/correction with with_sharding_constraint).  Clears the
+    pytree aux cache so the new static state takes effect."""
+    assert len(shardings) == len(gmg.levels)
+    gmg.__dict__.pop("_module_aux", None)
+    gmg.level_shardings = list(shardings)
+    return gmg

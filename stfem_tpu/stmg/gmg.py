@@ -113,6 +113,12 @@ class GMG:
         self.dtype = dtype
         self.precondition_sequence = precondition_sequence
         self.max_level = len(levels) - 1
+        # optional per-level NamedShardings (parallel.sharding.
+        # level_sharding_policy): explicit distribution of the WHOLE V-cycle
+        # over a device mesh, incl. the coarse-level replication rule -- the
+        # analogue of the reference's per-level partitioners/repartitioning
+        # (stmg.h:563-586).  None = let GSPMD propagate from the fine level.
+        self.level_shardings = None
         self.coarse_Ainv = None
         if params.coarse_grid_smoother_type == "Direct":
             self.coarse_Ainv = self._assemble_direct_coarse()
@@ -177,14 +183,24 @@ class GMG:
                                 lvl.smoother.vmult,
                                 self.params.coarse_grid_maxiter)
 
+    def _constrain(self, level: int, x):
+        if self.level_shardings is None:
+            return x
+        s = self.level_shardings[level]
+        if s is None:
+            return x
+        import jax
+        return jax.lax.with_sharding_constraint(x, s)
+
     def _level_v_step(self, level: int, defect):
         if level == 0:
             return self._coarse_solve(defect)
         u = self._apply_smoother(level, defect)
         r = defect - self.levels[level].matrix.vmult(u)
-        dc = self.transfers[level - 1].restrict(r)
-        uc = self._level_v_step(level - 1, dc)
-        u = u + self.transfers[level - 1].prolongate(uc)
+        dc = self._constrain(level - 1, self.transfers[level - 1].restrict(r))
+        uc = self._constrain(level - 1, self._level_v_step(level - 1, dc))
+        u = u + self._constrain(level,
+                                self.transfers[level - 1].prolongate(uc))
         return self._post_smooth(level, u, defect)
 
     def vmult(self, src):

@@ -52,6 +52,40 @@ class SystemMatrix:
         self.beta_is_zero = bool(np.all(np.asarray(Beta) == 0.0))
         self.n_blocks = self.Alpha.shape[0]
 
+        # Multi-step slab tables are block-BIDIAGONAL with repeated blocks
+        # (reference get_fe_time_weights stitching, fe_time.h:373-402):
+        # Alpha = I_s (x) A0 + N_s (x) A1 with N the one-step shift.  The
+        # dense (n x n) block mixing then collapses to two (nt x nt) mixes —
+        # a ~(s/2)x flop cut that matters most for the emulated-f64 outer
+        # path on TPU (true-residual evaluation for iterative refinement).
+        self.step_nt = None
+        self.A0 = self.A1 = self.B0 = self.B1 = None
+        struct = self._detect_step_structure(np.asarray(Alpha),
+                                             np.asarray(Beta))
+        if struct is not None:
+            nt, A0, A1, B0, B1 = struct
+            self.step_nt = nt
+            self.A0 = jnp.asarray(A0, self.dtype)
+            self.A1 = jnp.asarray(A1, self.dtype)
+            self.B0 = jnp.asarray(B0, self.dtype)
+            self.B1 = jnp.asarray(B1, self.dtype)
+
+        # Previous-slab coupling columns (Gamma/Zeta) only feed the FIRST
+        # step's rows in a multi-step slab; restrict the slice apply to the
+        # nonzero rows instead of integrating n_blocks mostly-zero outputs
+        # (reference alpha_is_zero/beta_is_zero shortcut per entry,
+        # operators.h:585-611).
+        self._slice_reduced = None
+        self._slice_nz = None
+        A_np, B_np = np.asarray(Alpha), np.asarray(Beta)
+        if A_np.ndim == 2 and A_np.shape[1] == 1:
+            nz = np.where((np.abs(A_np) + np.abs(B_np)).sum(1) != 0.0)[0]
+            if 0 < len(nz) <= self.n_blocks // 2:
+                self._slice_nz = tuple(int(i) for i in nz)
+                self._slice_reduced = SystemMatrix(
+                    K_op, M_op, A_np[nz], B_np[nz],
+                    precision="highest" if precision is not None else None)
+
         # fused quad-level middle (Pallas on TPU): precompute the full-cell
         # basis matrix and per-cell quadrature weights for every
         # diagonal-geometry mesh; mapped meshes use the XLA path
@@ -80,42 +114,113 @@ class SystemMatrix:
             self._phig = jnp.asarray(PhiG, self.dtype)
             self._w = jnp.asarray(np.concatenate(parts, axis=1), self.dtype)
 
+    @staticmethod
+    def _detect_step_structure(Anp, Bnp):
+        """Smallest nt such that BOTH tables are block-bidiagonal in
+        (nt x nt) blocks with identical diagonal / sub-diagonal blocks."""
+        n = Anp.shape[0]
+        if Anp.shape != (n, n) or Bnp.shape != (n, n):
+            return None
+        for nt in range(1, n // 2 + 1):
+            if n % nt:
+                continue
+            s = n // nt
+            if s < 2:
+                break
+            ok = True
+            A0, B0 = Anp[:nt, :nt], Bnp[:nt, :nt]
+            A1, B1 = Anp[nt:2 * nt, :nt], Bnp[nt:2 * nt, :nt]
+            for i in range(s):
+                for j in range(s):
+                    ba = Anp[i * nt:(i + 1) * nt, j * nt:(j + 1) * nt]
+                    bb = Bnp[i * nt:(i + 1) * nt, j * nt:(j + 1) * nt]
+                    if i == j:
+                        ea, eb = A0, B0
+                    elif i == j + 1:
+                        ea, eb = A1, B1
+                    else:
+                        ea = eb = None
+                    if ea is None:
+                        if np.any(ba != 0.0) or np.any(bb != 0.0):
+                            ok = False
+                            break
+                    elif not (np.array_equal(ba, ea)
+                              and np.array_equal(bb, eb)):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                return nt, A0, A1, B0, B1
+        return None
+
+    def _mix(self, which: str, transpose: bool, x):
+        """Apply the (possibly structured) block mixing: which in
+        {'alpha','beta'}; x: [n_blocks, ...]."""
+        if which == "alpha":
+            dense, M0, M1 = self.Alpha, self.A0, self.A1
+        else:
+            dense, M0, M1 = self.Beta, self.B0, self.B1
+        if self.step_nt is None or x.shape[0] != self.n_blocks:
+            M = dense.T if transpose else dense
+            return jnp.einsum("ji,i...->j...", M, x)
+        nt = self.step_nt
+        s = x.shape[0] // nt
+        xs = x.reshape((s, nt) + x.shape[1:])
+        if transpose:
+            y = jnp.einsum("ij,si...->sj...", M0, xs)
+            y = y.at[:-1].add(jnp.einsum("ij,si...->sj...", M1, xs[1:]))
+        else:
+            y = jnp.einsum("ji,si...->sj...", M0, xs)
+            y = y.at[1:].add(jnp.einsum("ji,si...->sj...", M1, xs[:-1]))
+        return y.reshape(x.shape)
+
     @property
     def dof_shape(self):
         return self.K.dof_shape
 
-    def _fused_apply(self, x: jnp.ndarray, Alpha, Beta,
-                     alpha_zero: bool, beta_zero: bool) -> jnp.ndarray:
-        """x: [n_src_blocks, *dofshape] -> [n_dst_blocks, *dofshape]."""
+    def _fused_apply(self, x: jnp.ndarray, transpose: bool,
+                     alpha_zero: bool, beta_zero: bool,
+                     mask_input: bool = True) -> jnp.ndarray:
+        """x: [n_src_blocks, *dofshape] -> [n_dst_blocks, *dofshape].
+        mask_input=False reads boundary dofs (for the strong-Dirichlet lift
+        rhs -= A x_g; output rows stay interior-masked either way)."""
         import jax
 
         if self.precision is not None:
             with jax.default_matmul_precision(self.precision):
-                return self._fused_apply_impl(x, Alpha, Beta,
-                                              alpha_zero, beta_zero)
-        return self._fused_apply_impl(x, Alpha, Beta, alpha_zero, beta_zero)
+                return self._fused_apply_impl(x, transpose,
+                                              alpha_zero, beta_zero,
+                                              mask_input)
+        return self._fused_apply_impl(x, transpose, alpha_zero, beta_zero,
+                                      mask_input)
 
-    def _fused_apply_impl(self, x, Alpha, Beta, alpha_zero, beta_zero):
+    def _fused_apply_impl(self, x, transpose, alpha_zero, beta_zero,
+                          mask_input=True):
         K, M = self.K, self.M
         dim, k = K.dim, K.degree
         cells = K.cells
         S, D = K.S, K.D
+        mix_a = lambda v: self._mix("alpha", transpose, v)
+        mix_b = lambda v: self._mix("beta", transpose, v)
 
-        u = cell_gather(x * K.mask, cells, k)
+        u = cell_gather(x * K.mask if mask_input else x, cells, k)
         if self._phig is not None:
             from .ops.pallas_kernels import fused_quad_middle
             C = int(np.prod(cells))
             A_loc = (k + 1) ** dim
             u2 = u.reshape(u.shape[0], C, A_loc)
-            y2 = fused_quad_middle(u2, self._phig, self._w, Alpha, Beta,
-                                   K.n_q ** dim)
+            y2 = fused_quad_middle(u2, self._phig, self._w,
+                                   self.Alpha.T if transpose else self.Alpha,
+                                   self.Beta.T if transpose else self.Beta,
+                                   K.n_q ** dim, mix=(mix_b, mix_a))
             y = y2.reshape((y2.shape[0],) + cells + (k + 1,) * dim)
             return cell_scatter(y, cells, k) * K.mask
         acc = None
         if not beta_zero:
             w = M.jxw if M.coeff is None else M.jxw * M.coeff
             val = _sumfac([S] * dim, u, dim)
-            val = jnp.einsum("ji,i...->j...", Beta, val) * w
+            val = mix_b(val) * w
             acc = _sumfac([S] * dim, val, dim, forward=False)
         if not alpha_zero:
             w = K.jxw if K.coeff is None else K.jxw * K.coeff
@@ -125,14 +230,13 @@ class SystemMatrix:
                 ghat.append(_sumfac(mats, u, dim))
             if K.jfac is not None:
                 for e in range(dim):
-                    t = jnp.einsum("ji,i...->j...", Alpha, ghat[e]) * (
-                        w * K.jfac[e] ** 2)
+                    t = mix_a(ghat[e]) * (w * K.jfac[e] ** 2)
                     mats = [D if d == e else S for d in range(dim)]
                     contrib = _sumfac(mats, t, dim, forward=False)
                     acc = contrib if acc is None else acc + contrib
             else:
                 ji = K.jinv
-                gmix = [jnp.einsum("ji,i...->j...", Alpha, g) for g in ghat]
+                gmix = [mix_a(g) for g in ghat]
                 gphys = [sum(gmix[e] * ji[..., e, d] for e in range(dim)) * w
                          for d in range(dim)]
                 for e in range(dim):
@@ -141,24 +245,32 @@ class SystemMatrix:
                     contrib = _sumfac(mats, t, dim, forward=False)
                     acc = contrib if acc is None else acc + contrib
         if acc is None:
-            return jnp.zeros((Alpha.shape[0],) + tuple(self.dof_shape),
+            return jnp.zeros((self.n_blocks,) + tuple(self.dof_shape),
                              self.dtype)
         y = cell_scatter(acc, cells, k)
         return y * K.mask
 
-    def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._fused_apply(x, self.Alpha, self.Beta,
-                                 self.alpha_is_zero, self.beta_is_zero)
+    def vmult(self, x: jnp.ndarray, mask_input: bool = True) -> jnp.ndarray:
+        if (self._slice_reduced is not None and x.shape[0] == 1
+                and mask_input):
+            return self.vmult_slice(x[0])
+        return self._fused_apply(x, False,
+                                 self.alpha_is_zero, self.beta_is_zero,
+                                 mask_input)
 
     def Tvmult(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self._fused_apply(x, self.Alpha.T, self.Beta.T,
+        return self._fused_apply(x, True,
                                  self.alpha_is_zero, self.beta_is_zero)
 
     def vmult_slice(self, prev: jnp.ndarray) -> jnp.ndarray:
         """RHS assembly: dst_j = Alpha[j,0] K prev + Beta[j,0] M prev;
         prev has shape [*dofshape] (reference vmult_slice_add,
         include/operators.h:585-611)."""
-        return self._fused_apply(prev[None], self.Alpha, self.Beta,
+        if self._slice_reduced is not None:
+            y = self._slice_reduced.vmult_slice(prev)
+            out = jnp.zeros((self.n_blocks,) + y.shape[1:], y.dtype)
+            return out.at[jnp.asarray(self._slice_nz)].set(y)
+        return self._fused_apply(prev[None], False,
                                  self.alpha_is_zero, self.beta_is_zero)
 
     def diagonal(self) -> jnp.ndarray:

@@ -55,29 +55,31 @@ class StokesSystemMatrix:
         self.n_flat = stokes_op.n_u + stokes_op.n_p
 
     def vmult(self, x: jnp.ndarray, u_lin: jnp.ndarray | None = None,
-              mode: str = "none") -> jnp.ndarray:
+              mode: str = "none", mask_input: bool = True) -> jnp.ndarray:
         """x: [T, n_u + n_p].  For Navier-Stokes pass u_lin ([T, dim, *grid])
         and mode "jacobian"/"form" (reference SystemMatrixStokes
-        set_linearization_data + OperatorMode, operators.h:471-500)."""
+        set_linearization_data + OperatorMode, operators.h:471-500).
+        mask_input=False reads eliminated u dofs (strong-Dirichlet lift)."""
         import jax
 
         if self.precision is not None:
             with jax.default_matmul_precision(self.precision):
-                return self._vmult_impl(x, u_lin, mode)
-        return self._vmult_impl(x, u_lin, mode)
+                return self._vmult_impl(x, u_lin, mode, mask_input)
+        return self._vmult_impl(x, u_lin, mode, mask_input)
 
-    def _vmult_impl(self, x, u_lin, mode):
+    def _vmult_impl(self, x, u_lin, mode, mask_input=True):
         S = self.S
         u, p = S.unpack(x)
-        ru, rp = S.apply(u, p, mode=mode, u_lin=u_lin)
-        Mu = self.M.apply(u * 1.0)  # batched over [T, dim] leading axes
+        ru, rp = S.apply(u, p, mode=mode, u_lin=u_lin, mask_input=mask_input)
+        # batched over [T, dim] leading axes
+        Mu = self.M.apply(u * 1.0, mask_input=mask_input)
         dst_u = (jnp.einsum("ji,i...->j...", self.a, ru)
                  + jnp.einsum("ji,i...->j...", self.b, Mu))
         dst_p = jnp.einsum("ji,i...->j...", self.a, rp)
         return S.pack(dst_u, dst_p)
 
-    def vmult_slice(self, prev_u: jnp.ndarray,
-                    prev_p: jnp.ndarray) -> jnp.ndarray:
+    def vmult_slice(self, prev_u: jnp.ndarray, prev_p: jnp.ndarray,
+                    mask_input: bool = True) -> jnp.ndarray:
         """RHS coupling to the previous step value (reference
         SystemMatrixStokes::vmult_slice_add, operators.h:748-782).
 
@@ -90,13 +92,14 @@ class StokesSystemMatrix:
         dst_u = jnp.zeros((T, S.dim) + tuple(S.dof_shape_u), self.dtype)
         dst_p = jnp.zeros((T,) + tuple(S.p_shape), self.dtype)
         if self.gamma_nonzero:
-            ru, rp = S.apply(prev_u[None], prev_p[None])
+            ru, rp = S.apply(prev_u[None], prev_p[None],
+                             mask_input=mask_input)
             gu = self.gamma[:, 0].reshape((T,) + (1,) * (ru.ndim - 1))
             dst_u = dst_u + gu * ru
             gp = self.gamma[:, 0].reshape((T,) + (1,) * (rp.ndim - 1))
             dst_p = dst_p + gp * rp
         if self.zeta_nonzero:
-            Mu = self.M.apply(prev_u[None])
+            Mu = self.M.apply(prev_u[None], mask_input=mask_input)
             zu = self.zeta[:, 0].reshape((T,) + (1,) * (Mu.ndim - 1))
             dst_u = dst_u + zu * Mu
         return S.pack(dst_u, dst_p)

@@ -16,3 +16,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles many hundreds of XLA:CPU programs; with all of
+    them retained in-process the compiler segfaults reproducibly partway
+    through (jaxlib backend_compile_and_load, observed at the same test in
+    consecutive runs while each module passes in isolation).  Dropping the
+    executable caches per module bounds the accumulation; re-compiles within
+    a module still amortize."""
+    yield
+    jax.clear_caches()
