@@ -97,6 +97,7 @@ def main():
     # remote-compile round trip per primitive on the axon TPU tunnel; the
     # resulting module arrays transfer to the TPU at the first jitted solve.
     cpu = jax.devices("cpu")[0]
+    tpu_dev = jax.devices()[0]
     t0 = time.time()
     with jax.default_device(cpu):
         K = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 0.0,
@@ -136,7 +137,11 @@ def main():
                                           skip_identity_levels=skip_id,
                                           smooth_all_levels=os.environ.get(
                                               "STFEM_BENCH_SMOOTHALL",
-                                              "0") == "1"))
+                                              "0") == "1"),
+                         # big-level power iterations run on the chip (one
+                         # dispatch each) -- on the 1-core host they were
+                         # ~80% of the 16^3 setup time
+                         eig_device=tpu_dev)
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)

@@ -747,20 +747,21 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
                    dfg_benchmark: int = 3, end_time: float = 8.0,
                    tau: float = 1.0 / 16.0, n_slabs: int = 4,
                    preconditioner_factory=None, gmres_maxiter: int = 100,
-                   rel_tol: float = 1e-8, cylinder: bool = False):
+                   rel_tol: float = 1e-8, cylinder: bool = False,
+                   weak_obstacle: bool = False):
     """Flow around the obstacle (DFG 2D benchmark, reference
     tests/tp_03stokes.cc + stokes_dfg.json): weak (Nitsche) inflow with the
-    DFG parabolic profile, weak no-slip walls, do-nothing outflow, strong
-    no-slip obstacle via the cell mask.
+    DFG parabolic profile, weak no-slip walls, do-nothing outflow.
 
     cylinder=False: the dfgBenchmarkSquare grid (square obstacle);
     cylinder=True: the dfgBenchmark grid (curved cylinder of diameter 0.1
     via the exact-geometry squircle morph, drag/lift on the curved
     boundary).
 
-    Returns per-slab iterations and final fields.  Deviation from the
-    reference: the obstacle no-slip is imposed strongly (mask) rather than
-    by Nitsche on the interior obstacle faces.
+    weak_obstacle=True imposes the obstacle no-slip by Nitsche on the
+    (curved) obstacle faces -- the reference's scheme
+    (operators.h:1658-1751 applies to all weak boundaries incl. the
+    cylinder); False eliminates the obstacle dofs strongly (mask).
     """
     dim = 2
     is_cgp = type_ == TimeStepType.CGP
@@ -776,7 +777,8 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
     weak_faces = ((0, 0), (1, 0), (1, 1))   # inflow + both walls
     free_faces = ((0, 1),)                   # do-nothing outflow
     S = StokesOperator(mesh, u_degree, p_degree, n_q, viscosity,
-                       weak_faces=weak_faces, free_faces=free_faces)
+                       weak_faces=weak_faces, free_faces=free_faces,
+                       weak_obstacle=weak_obstacle)
     Mu = LaplaceMassOperator(mesh, u_degree, n_q, 1.0, 0.0,
                              mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(type_, fe_degree, tau, 1)
@@ -825,7 +827,7 @@ def run_dfg_square(refinement: int = 1, fe_degree: int = 1,
                    p_degree=p_degree, type_=type_, viscosity=viscosity,
                    n_timesteps_at_once=1, time_step=tau, n_q=n_q,
                    refinement=refinement, weak_faces=weak_faces,
-                   free_faces=free_faces)
+                   free_faces=free_faces, weak_obstacle=weak_obstacle)
         precond = preconditioner_factory(ctx)
 
     @jax.jit

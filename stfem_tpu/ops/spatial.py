@@ -70,8 +70,18 @@ def cell_scatter(y: jnp.ndarray, cells: tuple[int, ...], k: int) -> jnp.ndarray:
         interior = moved[..., :, :k].reshape(lead_shape + (nc * k,))
         out = jnp.pad(interior,
                       [(0, 0)] * len(lead_shape) + [(0, 1)])
-        out = out.at[..., k::k].add(moved[..., :, k])
-        y = jnp.moveaxis(out, -1, axis)
+        # shared-node contribution (local dof k of each cell lands on global
+        # index (c+1)*k): built by concat + reshape instead of a strided
+        # scatter-add -- the scatter lowering blows the TPU scoped-vmem
+        # budget at 16^3+ and is slower everywhere
+        last = moved[..., :, k:]                         # [..., nc, 1]
+        seg = jnp.concatenate(
+            [last, jnp.zeros(lead_shape + (nc, k - 1), y.dtype)], axis=-1) \
+            if k > 1 else last
+        seg = jnp.concatenate(
+            [jnp.zeros(lead_shape + (1, k), y.dtype), seg], axis=-2)
+        shared = seg.reshape(lead_shape + ((nc + 1) * k,))[..., :nc * k + 1]
+        y = jnp.moveaxis(out + shared, -1, axis)
     return y
 
 

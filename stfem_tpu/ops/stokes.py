@@ -31,12 +31,22 @@ class StokesOperator:
                  n_q: int, viscosity: float = 1.0, dtype=jnp.float64,
                  dg_pressure: bool = True, weak_faces=(), free_faces=(),
                  penalty1: float = 20.0, penalty2: float = 10.0,
-                 delta0: float = 0.0, outflow_penalty: float = 0.0):
+                 delta0: float = 0.0, outflow_penalty: float = 0.0,
+                 weak_obstacle: bool = False):
         """weak_faces: iterable of (axis, side) boundary faces with Nitsche
         weak Dirichlet conditions (reference operators.h:1658-1751); those
         faces are NOT eliminated from the velocity mask.  free_faces: faces
         with no constraint at all (do-nothing outflow).  penalties gamma1 =
         nu*penalty1, gamma2 = penalty2 (reference ctor defaults 20/10).
+
+        weak_obstacle=True imposes the no-slip condition on the faces of the
+        removed-cell region (the DFG obstacle, possibly curved through the
+        mesh's exact vertex morph) by Nitsche penalties instead of strong
+        elimination -- the reference applies its boundary Nitsche terms on
+        the (curved) cylinder boundary too (operators.h:1658-1751).  The
+        obstacle-boundary velocity dofs then stay free; only dofs interior
+        to the removed region remain eliminated.  g = 0 there, so no RHS
+        term arises.
 
         dg_pressure=False selects the Taylor-Hood pair Q_{u_degree}/Q_{
         p_degree} with a CONTINUOUS nodal pressure (reference
@@ -132,13 +142,35 @@ class StokesOperator:
             mask[tuple(idx)] = np.maximum(sub, 1.0) if mesh.cell_mask is None \
                 else 1.0 * (np.ones_like(sub))
         # re-eliminate obstacle dofs (removed-cell adjacency) and corners
-        # shared with strong faces
-        if mesh.cell_mask is not None:
+        # shared with strong faces.  With a weak obstacle only dofs carried
+        # by NO active cell stay eliminated; the obstacle-boundary layer is
+        # free and constrained by the Nitsche terms.
+        self.weak_obstacle = bool(weak_obstacle) and mesh.cell_mask is not None
+        if mesh.cell_mask is not None and not self.weak_obstacle:
             k = u_degree
             for cidx in np.argwhere(mesh.cell_mask == 0.0):
                 sl = tuple(slice(int(c) * k, int(c) * k + k + 1)
                            for c in cidx)
                 mask[sl] = 0.0
+        elif self.weak_obstacle:
+            # boundary_dof_mask eliminated every removed-cell dof; re-free
+            # the obstacle-boundary layer (it is constrained weakly) and
+            # keep only dofs carried by NO active cell eliminated
+            k = u_degree
+            active = np.zeros(self.dof_shape_u)
+            for cidx in np.argwhere(mesh.cell_mask == 1.0):
+                sl = tuple(slice(int(c) * k, int(c) * k + k + 1)
+                           for c in cidx)
+                active[sl] = 1.0
+            outer = np.ones(self.dof_shape_u)
+            for d in range(self.dim):
+                for sd_ in (0, -1):
+                    if (d, 0 if sd_ == 0 else 1) in unconstrained:
+                        continue
+                    idx = [slice(None)] * self.dim
+                    idx[d] = sd_
+                    outer[tuple(idx)] = 0.0
+            mask = outer * active
         for d in range(self.dim):
             for sd in (0, -1):
                 if (d, 0 if sd == 0 else 1) in unconstrained:
@@ -155,6 +187,9 @@ class StokesOperator:
         self.n_u = self.dim * int(np.prod(self.dof_shape_u))
         self.n_p = (int(np.prod(self.cells)) * self.n_ploc if dg_pressure
                     else int(np.prod(self.dof_shape_p)))
+        if self.weak_obstacle:
+            # eager build so the face matrices are pytree leaves (jit args)
+            self._obstacle_face_setup()
 
     # -- packing ------------------------------------------------------------
     def pack(self, u: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -287,6 +322,10 @@ class StokesOperator:
             ru_n, rp_n = self.apply_nitsche(u, p)
             ru = ru + ru_n
             rp = rp + rp_n
+        if self.weak_obstacle:
+            ru_o, rp_o = self.apply_nitsche_obstacle(u, p)
+            ru = ru + ru_o
+            rp = rp + rp_o
         if navier and self.delta0 != 0.0:
             ru = ru + self.apply_cip(u, u_lin, self.delta0)
         if navier and self.beta != 0.0 and self.free_faces:
@@ -576,6 +615,177 @@ class StokesOperator:
         # contributions landing on strongly-eliminated dofs (e.g. corners
         # shared with strong faces) must not enter the residual
         return rhs_u * self.mask_u, rhs_p
+
+    def _obstacle_face_setup(self):
+        """Assembled Nitsche matrices for the obstacle (removed-cell) faces.
+
+        The obstacle surface is O(faces) small, so the weak terms are built
+        ONCE as dense per-face local matrices over the (possibly curved,
+        via the mesh's exact vertex morph) face quadrature -- Nanson normals
+        n ds = detJ J^{-T} n_ref dxi, physical gradients through J^{-1} --
+        and applied as a batched gather -> local matvec -> scatter-add.
+        Mirrors the reference's boundary-face Nitsche integral
+        (operators.h:1658-1751) evaluated on the mapped cylinder boundary.
+
+        Returns dict(E_uu [F,dim,dim,A,A], E_up [F,dim,A,m], uidx [F,A]
+        flat dof-grid indices, pidx [F] flat cell indices) or None when the
+        mesh has no removed cells.
+        """
+        if getattr(self, "_obstacle_cache", "unset") != "unset":
+            return self._obstacle_cache
+        from .functionals import obstacle_faces
+        from ..mesh.fe import q_nodes_1d
+        from ..mesh.fe_dgp import dgp_exponents, shifted_legendre_value
+        from ..time.quadrature import LagrangeBasis, gauss
+        assert self.dg_pressure, \
+            "weak obstacle implemented for the DGP pressure pair"
+        mesh = self.mesh
+        dim, k = self.dim, self.u_degree
+        nu = self.viscosity
+        faces = obstacle_faces(mesh)
+        if not faces:
+            self._obstacle_cache = None
+            return None
+        A = (k + 1) ** dim
+        m = self.n_ploc
+        nqf = self.n_q ** (dim - 1)
+        basis = LagrangeBasis(np.asarray(q_nodes_1d(k)))
+        qx, qw = gauss(self.n_q)
+        sd = self._sd
+        S1, D1 = np.asarray(sd.S), np.asarray(sd.D)
+        steps = [np.asarray(mesh.axis_steps[d]) if mesh.axis_steps is not None
+                 else np.full(mesh.cells[d], mesh.h[d]) for d in range(dim)]
+        starts = [np.asarray(mesh.axis_vertices(d))[:-1] for d in range(dim)]
+        fmap = getattr(mesh, "vertex_map", None)
+        if fmap is not None:
+            import jax
+            jac_at = jax.vmap(jax.jacfwd(fmap))
+        exps = dgp_exponents(dim, self.p_degree)
+        dof_strides = np.cumprod(
+            [1] + list(self.dof_shape_u[::-1]))[::-1][1:]
+        cell_strides = np.cumprod([1] + list(self.cells[::-1]))[::-1][1:]
+        a_idx = np.stack(np.meshgrid(*[np.arange(k + 1)] * dim,
+                                     indexing="ij"), -1).reshape(A, dim)
+
+        F = len(faces)
+        E_uu = np.zeros((F, dim, dim, A, A))
+        E_up = np.zeros((F, dim, A, m))
+        uidx = np.zeros((F, A), np.int64)
+        pidx = np.zeros((F,), np.int64)
+        wq_ref = np.ones((self.n_q,) * (dim - 1))
+        for i in range(dim - 1):
+            shp = [1] * (dim - 1)
+            shp[i] = self.n_q
+            wq_ref = wq_ref * qw.reshape(shp)
+        wq_ref = wq_ref.reshape(nqf)
+
+        for f, (d0, cidx, side) in enumerate(faces):
+            edge_x = 1.0 if side == 1 else 0.0
+            n_sign = 1.0 if side == 1 else -1.0   # outward from the fluid
+            oth = [d for d in range(dim) if d != d0]
+            D1e = basis.deriv_matrix(np.array([edge_x]))[0]
+            V1e = basis.eval_matrix(np.array([edge_x]))[0]
+            hs = [float(steps[d][cidx[d]]) for d in range(dim)]
+            # full-cell basis traces at the face quad points: Phi (A, Q),
+            # Ghat (dim, A, Q) reference-space
+            ev = {d: (S1 if d != d0 else None) for d in range(dim)}
+            Phi = np.ones((A, nqf))
+            Ghat = np.ones((dim, A, nqf))
+            q_idx = np.stack(np.meshgrid(
+                *[np.arange(self.n_q) for _ in oth], indexing="ij"),
+                -1).reshape(nqf, len(oth)) if dim > 1 else \
+                np.zeros((1, 0), np.int64)
+            for a in range(A):
+                col_v = np.ones(nqf)
+                col_g = np.ones((dim, nqf))
+                for d in range(dim):
+                    ai = a_idx[a, d]
+                    if d == d0:
+                        v = V1e[ai]
+                        g = D1e[ai]
+                        col_v *= v
+                        for e in range(dim):
+                            col_g[e] *= g if e == d0 else v
+                    else:
+                        j = oth.index(d)
+                        vv = S1[q_idx[:, j], ai]
+                        gg = D1[q_idx[:, j], ai]
+                        col_v *= vv
+                        for e in range(dim):
+                            col_g[e] *= gg if e == d else vv
+                Phi[a] = col_v
+                Ghat[:, a, :] = col_g
+            # geometry at the face points
+            if fmap is not None:
+                axes_pos = [np.array([starts[d][cidx[d]] + hs[d] * edge_x])
+                            if d == d0 else starts[d][cidx[d]] + hs[d] * qx
+                            for d in range(dim)]
+                grid = np.meshgrid(*axes_pos, indexing="ij")
+                pts = np.stack(grid, -1).reshape(nqf, dim)
+                Jm = np.asarray(jac_at(jnp.asarray(pts)))
+                J = Jm * np.asarray(hs)[None, None, :]
+            else:
+                J = np.broadcast_to(np.diag(hs), (nqf, dim, dim)).copy()
+            detJ = np.linalg.det(J)
+            Jinv = np.linalg.inv(J)                      # (Q, ref, phys)
+            wn = n_sign * detJ[:, None] * Jinv[:, d0, :]  # Nanson n ds
+            ds_w = np.linalg.norm(wn, axis=1) * wq_ref    # physical weights
+            n_unit = wn / np.linalg.norm(wn, axis=1)[:, None]
+            # physical gradients and normal derivative per basis function
+            Gphys = np.einsum("eaq,qed->adq", Ghat, Jinv)
+            Gn = np.einsum("adq,qd->aq", Gphys, n_unit)
+            # face size for the penalties: physical area^(1/(dim-1))
+            hf = float(np.sum(ds_w)) ** (1.0 / max(dim - 1, 1))
+            # pressure modal basis at the face points
+            Pqf = np.ones((m, nqf))
+            for mi, e_ in enumerate(exps):
+                col = np.ones((self.n_q,) * (dim - 1))
+                for i, d in enumerate(oth):
+                    shp = [1] * (dim - 1)
+                    shp[i] = self.n_q
+                    col = col * shifted_legendre_value(
+                        e_[d], qx).reshape(shp)
+                Pqf[mi] = shifted_legendre_value(
+                    e_[d0], np.array([edge_x]))[0] * col.reshape(-1)
+            PhiW = Phi * ds_w[None]
+            mass_f = PhiW @ Phi.T
+            adj = Phi @ (Gn * ds_w[None]).T               # (A_test, A_trial)
+            for c in range(dim):
+                for e in range(dim):
+                    blk = (self.gamma2 / hf) * (
+                        Phi @ (Phi * (ds_w * n_unit[:, c]
+                                      * n_unit[:, e])[None]).T)
+                    if c == e:
+                        blk = blk + (self.gamma1 / hf) * mass_f \
+                            - nu * adj - nu * adj.T
+                    E_uu[f, c, e] = blk
+                E_up[f, c] = (Phi * (ds_w * n_unit[:, c])[None]) @ Pqf.T
+            uidx[f] = ((np.asarray(cidx) * k + a_idx)
+                       * dof_strides[None, :]).sum(-1)
+            pidx[f] = int((np.asarray(cidx) * cell_strides).sum())
+        self._obstacle_cache = dict(
+            E_uu=jnp.asarray(E_uu, self.dtype),
+            E_up=jnp.asarray(E_up, self.dtype),
+            uidx=jnp.asarray(uidx), pidx=jnp.asarray(pidx))
+        return self._obstacle_cache
+
+    def apply_nitsche_obstacle(self, u, p):
+        """Weak no-slip obstacle contributions (ru_add, rp_add); same weak
+        form as apply_nitsche with g = 0, on the (curved) obstacle faces."""
+        ob = self._obstacle_face_setup()
+        dim = self.dim
+        L = u.ndim - dim - 1
+        u_flat = u.reshape(u.shape[:L + 1] + (-1,))
+        u_loc = u_flat[..., ob["uidx"]]                  # [..., dim, F, A]
+        p_flat = p.reshape(p.shape[:p.ndim - dim - 1]
+                           + (-1, self.n_ploc))
+        p_loc = p_flat[..., ob["pidx"], :]               # [..., F, m]
+        ru_loc = (jnp.einsum("fceab,...efb->...cfa", ob["E_uu"], u_loc)
+                  + jnp.einsum("fcam,...fm->...cfa", ob["E_up"], p_loc))
+        rp_loc = -jnp.einsum("fcam,...cfa->...fm", ob["E_up"], u_loc)
+        ru = jnp.zeros_like(u_flat).at[..., ob["uidx"]].add(ru_loc)
+        rp = jnp.zeros_like(p_flat).at[..., ob["pidx"], :].add(rp_loc)
+        return ru.reshape(u.shape), rp.reshape(p.shape)
 
     def face_element_matrices(self):
         """Per weak face: (d0, side, Fuu[c] list, Fup, Fpu) -- the Nitsche

@@ -226,7 +226,8 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                n_timesteps_at_once_min: int | None = None,
                space_degree_min: int = 1,
                poly_coarsening=PolynomialCoarseningSequenceType.bisect,
-               laplace_coefficient=None, time_only: bool = False) -> GMG:
+               laplace_coefficient=None, time_only: bool = False,
+               eig_device=None, eig_device_min_dofs: int = 50000) -> GMG:
     """Assemble the full STMG hierarchy for a heat/wave cycle.
 
     Level-ladder conventions follow the reference goldens (tp_01.output):
@@ -334,11 +335,23 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     # reference's estimate_relaxation (transfer_01.cc:268-271)
                     info = None
                 else:
+                    # big levels: run the jitted power iteration on the
+                    # accelerator (one dispatch) -- on the 1-core host the
+                    # 20 (vmult + vanka) sweeps dominate the whole setup
+                    # (measured 164 s of 200 s at 16^3, scripts/setup_profile)
+                    m_est, v_est = matrix, vanka
+                    n_sp = int(np.prod(lvl.dof_shape))
+                    if eig_device is not None and n_sp >= eig_device_min_dofs:
+                        import jax as _jax
+                        m_est, v_est = _jax.device_put((matrix, vanka),
+                                                       eig_device)
                     info = estimate_eigenvalues(
-                        matrix, vanka,
+                        m_est, v_est,
                         (n_blocks,) + tuple(lvl.dof_shape), K.mask_np, dtype,
                         params.smoothing_eig_cg_n_iterations,
-                        params.eig_safety_factor)
+                        params.eig_safety_factor, device=(
+                            eig_device if n_sp >= eig_device_min_dofs
+                            else None))
                     if not np.isfinite(info.max_eigenvalue) or \
                             info.max_eigenvalue <= 0:
                         info = None
@@ -414,7 +427,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                       n_timesteps_at_once_min: int | None = None,
                       poly_coarsening=PolynomialCoarseningSequenceType.bisect,
                       weak_faces=(), free_faces=(),
-                      dg_pressure: bool = True) -> GMG:
+                      dg_pressure: bool = True,
+                      weak_obstacle: bool = False) -> GMG:
     """STMG hierarchy for the Stokes slab system on the flat [T, n_u+n_p]
     layout (reference tests/tp_03stokes.cc level setup): velocity Q_{k+1}
     with pressure DGP(k) -- or, with dg_pressure=False, the Taylor-Hood
@@ -508,7 +522,8 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
             S = StokesOperator(mesh_l, u_deg, p_deg, u_deg + 1, viscosity,
                                dtype=dtype, weak_faces=weak_faces,
                                free_faces=free_faces,
-                               dg_pressure=dg_pressure)
+                               dg_pressure=dg_pressure,
+                               weak_obstacle=weak_obstacle)
             Mu = LaplaceMassOperator(mesh_l, u_deg, u_deg + 1, 1.0, 0.0,
                                      dtype=dtype, mask=S.mask_u_np)
             sop_cache[key] = (S, Mu)

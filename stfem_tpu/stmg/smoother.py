@@ -70,10 +70,16 @@ class EigInfo:
 
 def estimate_eigenvalues(matrix, precond, shape_blocks, mask, dtype,
                          n_iterations: int = 20,
-                         safety_factor: float = 1.2) -> EigInfo:
+                         safety_factor: float = 1.2,
+                         device=None) -> EigInfo:
     """The 1.2 safety factor on the max estimate follows deal.II's
-    estimate_eigenvalues; min = the raw power-iteration estimate."""
+    estimate_eigenvalues; min = the raw power-iteration estimate.
+    device: optional explicit device for the jitted power iteration (pass
+    the TPU during setup -- the caller must have device_put matrix/precond
+    there already)."""
     v0 = initial_guess(shape_blocks, mask, dtype)
+    if device is not None:
+        v0 = jax.device_put(v0, device)
     est = power_estimate(matrix, precond, v0, n_iterations)
     return EigInfo(min_eigenvalue=est, max_eigenvalue=safety_factor * est)
 

@@ -119,6 +119,38 @@ class StokesVanka:
                 face_up = face_up.at[layer].add(Fup)
                 face_pu = face_pu.at[layer].add(Fpu)
 
+        # weak-obstacle Nitsche terms.  The component-DIAGONAL u-u parts go
+        # through the banded assembly (extra_E per cell, like the boundary
+        # faces) so that every patch sharing an obstacle dof sees consistent
+        # rows; only the cross-component gamma2 n_c n_e parts (curved
+        # normals) and the u-p coupling are cell-local bolt-ons.
+        obs_uu = obs_up = obs_pu = None
+        if getattr(S, "weak_obstacle", False):
+            ob = S._obstacle_face_setup()
+            if ob is not None:
+                E_uu_f = np.asarray(ob["E_uu"])        # (F, dim, dim, A, A)
+                E_up_f = np.asarray(ob["E_up"])        # (F, dim, A, m)
+                pidx = np.asarray(ob["pidx"])
+                F = E_uu_f.shape[0]
+                if face_uu is None:
+                    face_uu = [jnp.zeros((C, A_s, A_s), self.dtype)
+                               for _ in range(dim)]
+                for c in range(dim):
+                    face_uu[c] = face_uu[c].at[pidx].add(
+                        jnp.asarray(E_uu_f[:, c, c], self.dtype))
+                E_off = E_uu_f.copy()
+                for c in range(dim):
+                    E_off[:, c, c] = 0.0
+                obs_uu = jnp.zeros((C, A_u, A_u), self.dtype)
+                obs_up = jnp.zeros((C, A_u, n_pl), self.dtype)
+                uu_cm = jnp.asarray(
+                    E_off.transpose(0, 1, 3, 2, 4).reshape(F, A_u, A_u),
+                    self.dtype)
+                up_cm = jnp.asarray(E_up_f.reshape(F, A_u, n_pl), self.dtype)
+                obs_uu = obs_uu.at[pidx].add(uu_cm)
+                obs_up = obs_up.at[pidx].add(up_cm)
+                obs_pu = -jnp.swapaxes(obs_up, 1, 2)
+
         sizes = []
         for i in range(n_blocks):
             _, iv, _ = blk.decompose(i)
@@ -132,7 +164,8 @@ class StokesVanka:
         vloc_np = val_u
 
         # one jitted program for the whole build (see vanka.py note)
-        def build(lap_, mass_, S_, fidx, vloc, face_uu_, face_up_, face_pu_):
+        def build(lap_, mass_, S_, fidx, vloc, face_uu_, face_up_, face_pu_,
+                  obs_uu_, obs_up_, obs_pu_):
             Kuu_c = []
             for c in range(dim):
                 extra = None if face_uu_ is None else face_uu_[c]
@@ -145,6 +178,9 @@ class StokesVanka:
             if face_up_ is not None:
                 E_up = E_up + face_up_
                 E_pu = E_pu + face_pu_
+            if obs_up_ is not None:
+                E_up = E_up + obs_up_
+                E_pu = E_pu + obs_pu_
             if not S_.dg_pressure:
                 # continuous pressure: patch coupling is the assembled sum
                 # over neighbor cells
@@ -160,6 +196,8 @@ class StokesVanka:
                 return jnp.concatenate(rows, axis=1)
 
             Kuu = blockdiag_list(Kuu_c)
+            if obs_uu_ is not None:
+                Kuu = Kuu + obs_uu_
             Muu = blockdiag_list([Muu_s.astype(dtype)] * dim)
             B = jnp.zeros((C, P, P), dtype)
             for i in range(n_blocks):
@@ -212,7 +250,14 @@ class StokesVanka:
 
         self.Binv = jax.jit(build)(lap, mass, S, flat_idx,
                                    jnp.asarray(vloc_np, dtype),
-                                   face_uu, face_up, face_pu)
+                                   face_uu, face_up, face_pu,
+                                   obs_uu, obs_up, obs_pu)
+        if getattr(S, "weak_obstacle", False) and S.mesh.cell_mask is not None:
+            # removed-cell patches must not update the (now free)
+            # obstacle-boundary dofs: their rows are degenerate (zero
+            # volume) and the regularized inverses inject noise
+            act = jnp.asarray(S.mesh.cell_mask.reshape(-1), dtype)
+            self.Binv = self.Binv * act[:, None, None]
 
     def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: flat [T, n_u + n_p] residual."""

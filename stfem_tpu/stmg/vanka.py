@@ -85,6 +85,95 @@ def dof_valence(cells: tuple[int, ...], k: int) -> np.ndarray:
     return _native_valence(cells, k)
 
 
+def separable_eigenbasis(K_op: LaplaceMassOperator,
+                         M_op: LaplaceMassOperator):
+    """Per-axis Kronecker factorization of the patch generalized eigenbasis
+    (classic fast diagonalization, Lynch-Rice-Thomas).
+
+    On an axis-aligned tensor mesh without coefficient the assembled global
+    matrices are Kronecker sums of 1D assembled matrices, so every patch
+    inherits  K_loc = sum_e (x)_d A1_d,  M_loc = (x)_d M1_d  with 1D factors
+    that depend only on the cell's POSITION along each axis.  Solving the
+    tiny ((k+1) x (k+1)) per-axis generalized eigenproblems on the FREE
+    (unconstrained) 1D dofs gives V = (x)_d V_d with V^T M_loc V = I and
+    V^T K_loc V = diag(sum_d lam_d) -- exactly the basis the dense batched
+    eigh computes, at O(cells_d (k+1)^3) host cost instead of a batched
+    C x (k+1)^dim eigh, and with V stored as per-axis factors (KB instead of
+    C A^2 floats; the V application in vmult becomes sum-factorized).
+
+    Constrained handling: constrained 1D columns are unit vectors with a
+    placeholder eigenvalue (1/dim).  Any product eigenvector touching a
+    constrained axis spans only constrained dofs, where the gathered
+    residual is identically zero, so its (arbitrary) eigenvalue and the
+    missing cross-block M-orthonormality never enter the applied operator --
+    the result equals the dense construction exactly on the reachable
+    subspace (asserted by the fastdiag<->sep parity test).
+
+    Returns (lam [C, A] float64, V_axes list of [cells_d, k+1, k+1] float64)
+    or None when the operators are not separable (mapped geometry, variable
+    coefficient, cell-masked mesh, or non-default Dirichlet masks).
+    """
+    import scipy.linalg
+
+    mesh = K_op.mesh
+    k, dim = K_op.degree, K_op.dim
+    if (K_op.jinv is not None or K_op.coeff is not None
+            or M_op.coeff is not None
+            or getattr(mesh, "cell_mask", None) is not None
+            or getattr(mesh, "_vertices", None) is not None):
+        return None
+    default_mask = mesh.boundary_dof_mask(k)
+    if not (np.array_equal(K_op.mask_np, default_mask)
+            and np.array_equal(M_op.mask_np, default_mask)):
+        return None
+
+    from ..mesh.grid import StructuredMesh
+
+    lam_axes, v_axes = [], []
+    for d in range(dim):
+        verts = mesh.axis_vertices(d)
+        steps = np.diff(verts)
+        uniform = np.allclose(steps, steps[0])
+        if uniform:
+            mesh1 = StructuredMesh([int(mesh.cells[d])], [float(verts[0])],
+                                   [float(verts[-1])], refinement=0)
+        else:
+            mesh1 = StructuredMesh([len(steps)], [float(verts[0])], None,
+                                   refinement=0, axis_steps=[steps])
+        K1 = LaplaceMassOperator(mesh1, k, K_op.n_q, 0.0, 1.0,
+                                 dtype=jnp.float64)
+        M1 = LaplaceMassOperator(mesh1, k, K_op.n_q, 1.0, 0.0,
+                                 dtype=jnp.float64)
+        Kp = np.asarray(extract_patches(assemble_band(K1), mesh1.cells, k))
+        Mp = np.asarray(extract_patches(assemble_band(M1), mesh1.cells, k))
+        mask1 = np.asarray(mesh1.boundary_dof_mask(k))
+        nc = int(mesh.cells[d])
+        lam_d = np.full((nc, k + 1), 1.0 / dim)
+        V_d = np.zeros((nc, k + 1, k + 1))
+        for c in range(nc):
+            free = mask1[c * k:c * k + k + 1] > 0.0
+            idx = np.where(free)[0]
+            cidx = np.where(~free)[0]
+            if len(idx):
+                w, v = scipy.linalg.eigh(Kp[c][np.ix_(idx, idx)],
+                                         Mp[c][np.ix_(idx, idx)])
+                lam_d[c, idx] = w
+                V_d[c][np.ix_(idx, idx)] = v
+            V_d[c][cidx, cidx] = 1.0
+        lam_axes.append(lam_d)
+        v_axes.append(V_d)
+
+    shape = tuple(int(c) for c in mesh.cells) + (k + 1,) * dim
+    lam = np.zeros(shape)
+    for d in range(dim):
+        s = [1] * (2 * dim)
+        s[d] = mesh.cells[d]
+        s[dim + d] = k + 1
+        lam = lam + lam_axes[d].reshape(s)
+    C = int(np.prod(mesh.cells))
+    return lam.reshape(C, (k + 1) ** dim), v_axes
+
+
 @register_module
 class PreconditionVanka:
     """Additive-Schwarz cell-patch preconditioner over the space-time slab.
@@ -162,7 +251,6 @@ class PreconditionVanka:
             else:
                 a_nt = None
         from ..utils.native import band_indices
-        flat_idx = np.ascontiguousarray(band_indices(self.cells, self.k))
         val = dof_valence(self.cells, self.k)
         A_ = jnp.asarray(Alpha, self.dtype)
         B_ = jnp.asarray(Beta, self.dtype)
@@ -226,6 +314,75 @@ class PreconditionVanka:
         A = (k + 1) ** self.dim
         vloc = cell_gather(jnp.asarray(val, dtype), cells, k).reshape(C, A)
         self.Ginv = self.cvec = None
+        # separable (per-axis Kronecker) eigenbasis when the operators allow
+        # it: no big batched eigh at setup, per-axis V factors instead of the
+        # dense C x A x A basis, sum-factorized V application in vmult
+        self.Vsep = None
+        sep = None
+        import os as _os
+        if mode == "fastdiag" and _os.environ.get(
+                "STFEM_NO_SEP_VANKA") != "1":
+            sep = separable_eigenbasis(K_op, M_op)
+        if sep is not None and _os.environ.get(
+                "STFEM_SEP_VANKA_APPLY", "0") != "1":
+            # materialize the dense V = (x)_d V_d from the per-axis factors
+            # (jitted broadcast product -- still NO batched eigh): the dense
+            # bf16 V matmul measures FASTER on TPU than the factor-form
+            # sum-factorized apply (tiny (k+1) contractions lower to
+            # transpose-heavy batched matmuls).  Factor-form apply stays
+            # available via STFEM_SEP_VANKA_APPLY=1 for memory-bound grids
+            # (V is C*A^2 dense vs KBs of factors).
+            lam_np, v_axes = sep
+            dim = self.dim
+            subs = {1: "uap->uap", 2: "uap,vbq->uvabpq",
+                    3: "uap,vbq,wcr->uvwabcpqr"}[dim]
+            C_ = int(np.prod(cells))
+            A = (k + 1) ** dim
+
+            def materialize(vs):
+                V = jnp.einsum(subs, *vs)
+                return V.reshape(C_, A, A)
+
+            V_full = jax.jit(materialize)(
+                [jnp.asarray(v, dtype) for v in v_axes])
+            sep = (lam_np, V_full)
+        if sep is not None:
+            lam_np, v_or_axes = sep
+            lam = jnp.asarray(lam_np, dtype)
+            if isinstance(v_or_axes, list):
+                self.Vsep = [jnp.asarray(v, dtype) for v in v_or_axes]
+                self.V = None
+            else:
+                self.Vsep = None
+                self.V = v_or_axes if storage_dtype is None \
+                    else v_or_axes.astype(storage_dtype)
+            self.Binv = None
+            # valence is block-independent: store one (C, A) inverse
+            self.dinv = (1.0 / vloc).astype(
+                storage_dtype if storage_dtype is not None else dtype)
+            if self.n_steps > 1:
+                a__ = jnp.asarray(a_nt, dtype)
+                b__ = jnp.asarray(b_nt, dtype)
+                g__ = jnp.asarray(g_nt, dtype)
+                z__ = jnp.asarray(z_nt, dtype)
+
+                def scan_factors(lam_):
+                    G = lam_[:, :, None, None] * a__[None, None] \
+                        + b__[None, None]
+                    Ginv = jnp.linalg.inv(G)
+                    gz = lam_[:, :, None] * g__[None, None] + z__[None, None]
+                    return Ginv, jnp.einsum("cqij,cqj->cqi", Ginv, gz)
+
+                self.Ginv, self.cvec = jax.jit(scan_factors)(lam)
+                self.TTinv = None
+            else:
+                self.TTinv = jax.jit(lambda lam_: jnp.linalg.inv(
+                    lam_[:, :, None, None] * A_[None, None]
+                    + B_[None, None]))(lam)
+                self.Ginv = None
+            return
+        # the banded index map is only needed for the dense-patch builds
+        flat_idx = np.ascontiguousarray(band_indices(self.cells, self.k))
         if mode == "fastdiag" and self.n_steps > 1:
             self.V, self.Ginv, self.cvec, self.dinv = \
                 jax.jit(build_fastdiag_scan)(
@@ -257,6 +414,24 @@ class PreconditionVanka:
             if storage_dtype is not None:
                 self.Binv = self.Binv.astype(storage_dtype)
 
+    def _sep_mul(self, r: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+        """Apply the separable eigenbasis (x)_d V_d (or its transpose) to
+        r in natural layout [nb, *cells, *loc] -- dim sum-factorized
+        position-batched (k+1)x(k+1) contractions instead of one dense
+        A x A basis matmul per cell."""
+        dim = self.dim
+        cl = "uvw"[:dim]
+        al = "abc"[:dim]
+        for d in range(dim):
+            src = al[:d] + "q" + al[d + 1:]   # axis d carries the input idx
+            out = al[:d] + "p" + al[d + 1:]
+            # V_d is [cell, dof, eig]; transpose contracts the dof index
+            # (w = V^T r), forward contracts the eig index (y = V w)
+            vspec = f"{cl[d]}qp" if transpose else f"{cl[d]}pq"
+            r = jnp.einsum(f"{vspec},t{cl}{src}->t{cl}{out}",
+                           self.Vsep[d], r)
+        return r
+
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         """src: [n_blocks, *dofshape] residual -> additive patch updates."""
         src = src.astype(self.dtype)
@@ -277,11 +452,16 @@ class PreconditionVanka:
             # broadcast FMAs: XLA lowers the equivalent einsum
             # ("cqij,csjq->csiq") to a transpose-heavy batched matmul that
             # measures 34x slower on TPU (0.97 ms vs 0.029 ms)
-            C = self.V.shape[0]
-            A = self.V.shape[1]
+            C = int(np.prod(self.cells))
+            A = (self.k + 1) ** self.dim
             S, nt = self.n_steps, nb // self.n_steps
-            r = r.reshape(nb, C, A) * self.dinv              # D^{-1}
-            w = jnp.einsum("caq,tca->tcq", self.V, r)        # V^T r
+            if self.Vsep is not None:
+                rn = r * self.dinv.reshape(
+                    self.cells + (self.k + 1,) * self.dim)[None]
+                w = self._sep_mul(rn, transpose=True).reshape(nb, C, A)
+            else:
+                r = r.reshape(nb, C, A) * self.dinv          # D^{-1}
+                w = jnp.einsum("caq,tca->tcq", self.V, r)    # V^T r
             w = w.reshape(S, nt, C, A)
             y = jnp.stack(
                 [sum(self.Ginv[:, :, i, j] * w[:, j] for j in range(nt))
@@ -299,12 +479,38 @@ class PreconditionVanka:
                 [jnp.zeros_like(last[:1]), last[:-1]], axis=0)
             w = y + a_prev[:, None] * jnp.moveaxis(self.cvec, -1, 0)
             w = w.reshape(nb, C, A)
+            if self.Vsep is not None:
+                y = self._sep_mul(w.reshape(
+                    (nb,) + tuple(self.cells)
+                    + (self.k + 1,) * self.dim), transpose=False)
+                return cell_scatter(y.astype(self.dtype), self.cells, self.k)
             y = jnp.einsum("caq,tcq->tca", self.V, w)        # V back
+        elif self.Vsep is not None:
+            # single-step separable path, t-major throughout
+            C = int(np.prod(self.cells))
+            A = (self.k + 1) ** self.dim
+            rn = r * self.dinv.reshape(
+                self.cells + (self.k + 1,) * self.dim)[None]
+            w = self._sep_mul(rn, transpose=True).reshape(nb, C, A)
+            if nb <= 8:
+                w = jnp.stack(
+                    [sum(self.TTinv[:, :, t, s] * w[s] for s in range(nb))
+                     for t in range(nb)], axis=0)
+            else:
+                w = jnp.einsum("cqts,scq->tcq", self.TTinv, w)
+            y = self._sep_mul(w.reshape(
+                (nb,) + tuple(self.cells) + (self.k + 1,) * self.dim),
+                transpose=False)
+            return cell_scatter(y.astype(self.dtype), self.cells, self.k)
         else:
             C = self.V.shape[0]
             A = self.V.shape[1]
             r = r.reshape(nb, C, A).transpose(1, 0, 2)       # [C, nb, A]
-            r = r * self.dinv.reshape(C, nb, A)              # D^{-1}
+            # dinv is (C, T*A) from the dense build or (C, A) from the
+            # separable build (valence is block-independent)
+            dinv = (self.dinv.reshape(C, 1, A) if self.dinv.size == C * A
+                    else self.dinv.reshape(C, nb, A))
+            r = r * dinv                                     # D^{-1}
             w = jnp.einsum("caq,cta->ctq", self.V, r)        # V^T r
             if nb <= 8:
                 # per-eig T x T, unrolled to broadcast FMAs (see above)

@@ -71,8 +71,10 @@ def test_vanka_fastdiag_scan_equals_dense():
         v_scan = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
         assert v_scan.n_steps == 4 and v_scan.Ginv is not None
         v_dense = PreconditionVanka(K, M, A, B, mode="dense")
+        # defects are interior-supported in the solver (rhs and operator
+        # outputs are masked); the separable eigenbasis relies on it
         src = jnp.asarray(rng.standard_normal((A.shape[0],)
-                                              + mesh.dof_shape(2)))
+                                              + mesh.dof_shape(2))) * K.mask
         np.testing.assert_allclose(np.asarray(v_scan.vmult(src)),
                                    np.asarray(v_dense.vmult(src)),
                                    rtol=1e-9, atol=1e-11)
@@ -82,6 +84,40 @@ def test_vanka_fastdiag_scan_equals_dense():
                                    np.asarray(v_dense.vmult(src)),
                                    rtol=1e-9, atol=1e-11)
 
+    # separable (per-axis Kronecker) eigenbasis active on this uniform
+    # unmapped mesh and exact vs both the dense-eigh fastdiag and the dense
+    # inverse (round-2: kills the batched C x A x A eigh at setup and the
+    # dense V matmul in the apply)
+    import os
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 1, 0.125, 4)
+    # default: dense V materialized from the per-axis factors (no eigh)
+    v_auto = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
+    assert v_auto.V is not None and v_auto.Vsep is None
+    os.environ["STFEM_SEP_VANKA_APPLY"] = "1"
+    try:
+        v_fac = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
+    finally:
+        del os.environ["STFEM_SEP_VANKA_APPLY"]
+    assert v_fac.Vsep is not None
+    os.environ["STFEM_NO_SEP_VANKA"] = "1"
+    try:
+        v_eigh = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
+    finally:
+        del os.environ["STFEM_NO_SEP_VANKA"]
+    assert v_eigh.Vsep is None
+    src = jnp.asarray(rng.standard_normal((A.shape[0],)
+                                          + mesh.dof_shape(2))) * K.mask
+    y_eigh = np.asarray(v_eigh.vmult(src))
+    np.testing.assert_allclose(np.asarray(v_auto.vmult(src)), y_eigh,
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v_fac.vmult(src)), y_eigh,
+                               rtol=1e-9, atol=1e-11)
+    # ineligible (coefficient field) -> falls back to the batched eigh
+    coeff = lambda pts: 1.0 + pts[..., 0]
+    K_c = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0, coefficient=coeff)
+    v_c = PreconditionVanka(K_c, M, A, B, mode="fastdiag", n_steps=4)
+    assert v_c.Vsep is None
+
     # wave tables: cross-step coupling is NOT rank-1 bidiagonal -> fallback
     A, B, G, Z = get_fe_time_weights(TimeStepType.DG, 1, 0.125, 1)
     Aw, Bw = get_fe_time_weights_wave(TimeStepType.DG, A, B, G, Z, 4)[:2]
@@ -89,7 +125,7 @@ def test_vanka_fastdiag_scan_equals_dense():
     assert v_wave.n_steps == 1 and v_wave.TTinv is not None
     v_wave_dense = PreconditionVanka(K, M, Aw, Bw, mode="dense")
     src = jnp.asarray(rng.standard_normal((Aw.shape[0],)
-                                          + mesh.dof_shape(2)))
+                                          + mesh.dof_shape(2))) * K.mask
     np.testing.assert_allclose(np.asarray(v_wave.vmult(src)),
                                np.asarray(v_wave_dense.vmult(src)),
                                rtol=1e-9, atol=1e-11)
