@@ -46,7 +46,11 @@ from .vanka import PreconditionVanka
 class GMGParams:
     """Mirror of PreconditionerGMGAdditionalData (reference parameters.h:12-31)."""
     smoothing_range: float = 1.0
-    smoothing_degree: int = 5           # unused by the reference GMG wiring
+    # parsed for config compatibility; DEAD in the reference's compiled
+    # code too -- its GMG uses smoothing_steps for both the Relaxation
+    # n_iterations and the Chebyshev degree (stmg.h:1212,1224); the only
+    # consumer is the stale, non-compiling transfer_01.cc:283
+    smoothing_degree: int = 5
     smoothing_eig_cg_n_iterations: int = 20
     smoothing_steps: int = 1
     relaxation: float = 0.0             # 0.0 => estimate

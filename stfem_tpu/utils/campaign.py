@@ -64,3 +64,44 @@ def emit_job_script(config_path: str, out_dir: str, dim: int = 3,
         f"| tee {out_dir}/{name}.log\n")
     os.chmod(script, 0o755)
     return str(script)
+
+
+def extract_tables(log_text: str) -> dict[str, list[str]]:
+    """Pull the convergence and iteration-count tables out of a driver log
+    (the reference's postprocess awk, submit_job_postprocess.sh:33-35:
+    print from 'Convergence table' / 'Iteration count table' headers to the
+    next blank line).  Returns {header: [table lines incl. header]}."""
+    out: dict[str, list[str]] = {}
+    lines = log_text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith(("Convergence table", "Iteration count table")):
+            block = [line]
+            i += 1
+            while i < len(lines) and lines[i].strip():
+                block.append(lines[i])
+                i += 1
+            out.setdefault(line.strip(), []).extend(block)
+        else:
+            i += 1
+    return out
+
+
+def postprocess_campaign(out_dir: str, dest_dir: str | None = None) -> dict:
+    """Collect tables from every run log in out_dir into per-table text
+    files (the reference's submit_job_postprocess.sh output/<name>/ layout).
+    Returns {log name: extracted tables}."""
+    out_dir = Path(out_dir)
+    dest = Path(dest_dir) if dest_dir else out_dir / "output"
+    results = {}
+    for log in sorted(out_dir.glob("*.log")):
+        tables = extract_tables(log.read_text())
+        results[log.stem] = tables
+        tdir = dest / log.stem
+        tdir.mkdir(parents=True, exist_ok=True)
+        for header, block in tables.items():
+            fname = ("convergence.txt" if header.startswith("Convergence")
+                     else "iterations.txt")
+            (tdir / fname).write_text("\n".join(block) + "\n")
+    return results

@@ -16,11 +16,55 @@ from ..time.tables import get_time_basis, get_time_evaluation_matrix
 from ..types import TimeStepType
 
 
+def _locate_in_distorted(mesh: StructuredMesh, p: np.ndarray):
+    """(cell index tuple, reference coords) of a physical point on a
+    vertex-distorted mesh: per-cell Newton inversion of the Q1 (multilinear)
+    cell map -- the replacement for the reference's RemotePointEvaluation
+    search tree (tp_01.cc:455-456) on the structured grid."""
+    dim = mesh.dim
+    verts = mesh._vertices
+    corners_b = list(np.ndindex(*((2,) * dim)))
+    # candidate order: nearest undistorted cell first, then all cells
+    guess = tuple(int(np.clip((p[d] - mesh.lower[d]) / mesh.h[d], 0,
+                              mesh.cells[d] - 1)) for d in range(dim))
+    cands = [guess] + [c for c in np.ndindex(*mesh.cells) if c != guess]
+    for cidx in cands:
+        V = np.stack([verts[tuple(np.add(cidx, b))] for b in corners_b])
+        xi = np.full(dim, 0.5)
+        ok = False
+        for _ in range(30):
+            w = np.ones(len(corners_b))
+            dw = np.ones((dim, len(corners_b)))
+            for d in range(dim):
+                f = np.array([xi[d] if b[d] else 1.0 - xi[d]
+                              for b in corners_b])
+                g = np.array([1.0 if b[d] else -1.0 for b in corners_b])
+                w = w * f
+                for e in range(dim):
+                    dw[e] = dw[e] * (g if e == d else f)
+            x = w @ V
+            J = dw @ V                      # (dim_xi, dim_x)
+            try:
+                dxi = np.linalg.solve(J.T, p - x)
+            except np.linalg.LinAlgError:
+                break
+            xi = xi + dxi
+            if np.linalg.norm(dxi) < 1e-13:
+                ok = True
+                break
+        if ok and np.all(xi > -1e-10) and np.all(xi < 1 + 1e-10):
+            return cidx, np.clip(xi, 0.0, 1.0)
+    raise ValueError(f"probe point {p} not found in the distorted mesh")
+
+
 class PointEvaluator:
-    """Evaluate a dof-grid field at fixed physical points (Cartesian mesh)."""
+    """Evaluate a dof-grid field at fixed physical points.
+
+    Cartesian meshes: arithmetic cell lookup.  Vertex-distorted meshes:
+    Newton inversion of the Q1 cell map (consistent with dof_coordinates'
+    Q1-mapped node placement)."""
 
     def __init__(self, mesh: StructuredMesh, degree: int, points):
-        assert mesh._vertices is None, "point probes on distorted mesh: TODO"
         self.mesh = mesh
         self.degree = degree
         pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
@@ -31,14 +75,20 @@ class PointEvaluator:
         self.cells_of_point = []
         self.weights = []  # list of per-axis (degree+1,) arrays
         for p in pts:
-            ci = []
-            w = []
-            for d in range(dim):
-                c = int(np.clip((p[d] - mesh.lower[d]) / mesh.h[d], 0,
-                                mesh.cells[d] - 1))
-                xi = (p[d] - mesh.lower[d]) / mesh.h[d] - c
-                ci.append(c)
-                w.append(basis.eval_matrix(np.array([xi]))[0])
+            if mesh._vertices is not None:
+                ci, xi = _locate_in_distorted(mesh, p)
+                ci = list(ci)
+                w = [basis.eval_matrix(np.array([xi[d]]))[0]
+                     for d in range(dim)]
+            else:
+                ci = []
+                w = []
+                for d in range(dim):
+                    c = int(np.clip((p[d] - mesh.lower[d]) / mesh.h[d], 0,
+                                    mesh.cells[d] - 1))
+                    xi = (p[d] - mesh.lower[d]) / mesh.h[d] - c
+                    ci.append(c)
+                    w.append(basis.eval_matrix(np.array([xi]))[0])
             self.cells_of_point.append(ci)
             self.weights.append(w)
 

@@ -48,6 +48,27 @@ def test_campaign_generation(tmp_path):
     assert "python -m stfem_tpu.drivers.tp01" in open(script).read()
 
 
+def test_campaign_postprocess(tmp_path):
+    """Table extraction from run logs (reference
+    submit_job_postprocess.sh:33-35 awk)."""
+    from stfem_tpu.utils.campaign import postprocess_campaign
+
+    log = (":: Number of active cells: 16\n"
+           "Average GMRES iterations 8 (32 / 4)\n\n"
+           "Convergence table k=1\n"
+           "cells s-dofs L2-L2\n16 81 1.78760e-02\n\n"
+           "noise\n\n"
+           "Iteration count table\n"
+           "  k \\ r  2  3\n  1  8.0  8.75\n\n")
+    (tmp_path / "run1.log").write_text(log)
+    res = postprocess_campaign(str(tmp_path))
+    assert "run1" in res
+    conv = (tmp_path / "output" / "run1" / "convergence.txt").read_text()
+    assert "1.78760e-02" in conv and "noise" not in conv
+    iters = (tmp_path / "output" / "run1" / "iterations.txt").read_text()
+    assert "8.75" in iters
+
+
 def test_timer_output():
     t = TimerOutput()
     with t.scope("vmult"):

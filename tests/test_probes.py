@@ -26,6 +26,20 @@ def test_functionals_writer(tmp_path):
     assert t0 == 0.0
 
 
+def test_point_evaluator_distorted_mesh():
+    """Probes on a vertex-distorted mesh (VERDICT r1 weak #9 tail): Newton
+    inversion of the Q1 cell map; exact for linear fields (a . Phi(xi) is
+    multilinear, hence in the Q_k tensor space)."""
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2, distort=0.2)
+    coords = mesh.dof_coordinates(2)
+    a = np.array([0.7, -0.3])
+    u = coords @ a + 0.11
+    pe = PointEvaluator(mesh, 2, [[0.4, 0.6], [0.77, 0.12], [0.05, 0.95]])
+    vals = pe(u)
+    for p, v in zip(pe.points, vals):
+        np.testing.assert_allclose(v, p @ a + 0.11, rtol=1e-10)
+
+
 def test_driver_probes_match_exact_solution(tmp_path):
     """Probe values written by the heat driver match the manufactured exact
     solution at the sample times (VERDICT r1 missing #4: wired probes)."""
