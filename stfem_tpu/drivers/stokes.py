@@ -516,7 +516,8 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
                             preconditioner_factory=None,
                             gmres_maxiter: int = 200,
                             rel_tol: float = 1e-10,
-                            delta0: float = 0.0) -> StokesCycleResult:
+                            delta0: float = 0.0,
+                            nonlinear_extrapolation=None) -> StokesCycleResult:
     """Navier-Stokes convergence cycle: per slab, a Picard (Oseen) iteration
     with the convective linearization in "form" mode; the manufactured
     solution/RHS include the convection term (reference stokes::RHSFunction
@@ -524,6 +525,12 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
 
     The reference plumbs the nonlinear machinery without shipping a solver
     loop (SURVEY.md section 3.3); this driver exercises it.
+
+    nonlinear_extrapolation (types.NonlinearExtrapolation or None): build
+    the first linearization point of each slab by the reference's
+    extrapolation matrix applied to the previous slab's time polynomial
+    (extrapolate_nonlinear, fe_time.h:1223-1240); None broadcasts the
+    previous value (the Constant predictor).
     """
     dim = 2
     is_cgp = type_ == TimeStepType.CGP
@@ -618,14 +625,31 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
     prev_flat = S.pack(u0, p0)
     detj = float(np.prod(mesh.h))
 
+    E_extra = None
+    if nonlinear_extrapolation is not None:
+        assert n_timesteps_at_once == 1, \
+            "extrapolation predictor wired for single-step slabs"
+        from ..time.tables import get_extrapolation_matrix
+        E_extra = jnp.asarray(get_extrapolation_matrix(
+            type_, nonlinear_extrapolation, fe_degree, 1.0, 0.0, 0.0))
+
     time, l2, linf, h1, hdiv = 0.0, 0.0, -1.0, 0.0, 0.0
     l2p, linfp, h1p = 0.0, -1.0, 0.0
     total_iters, n_slabs = 0, 0
+    prev_slab_u = None       # previous slab's u blocks (extrapolation src)
+    prev_slab_start = None   # u at the previous slab's start
     while time < end_time - 1e-12:
-        # Picard: convective state from the previous slab, then re-linearize
-        u_lin = jnp.broadcast_to(
-            prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u),
-            (T, dim) + S.dof_shape_u)
+        # Picard: first linearization point from the previous slab --
+        # constant broadcast, or the extrapolation-matrix predictor
+        # (reference extrapolate_nonlinear, fe_time.h:1223-1240)
+        if E_extra is not None and prev_slab_u is not None:
+            src = jnp.concatenate([prev_slab_start[None], prev_slab_u],
+                                  axis=0)
+            u_lin = jnp.einsum("ij,j...->i...", E_extra, src)
+        else:
+            u_lin = jnp.broadcast_to(
+                prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u),
+                (T, dim) + S.dof_shape_u)
         for _ in range(n_picard):
             res: FGMRESResult = solve_oseen(matrix, rhs_matrix, precond,
                                             prev_flat, u_lin,
@@ -645,6 +669,8 @@ def run_navier_stokes_cycle(refinement: int, fe_degree: int,
         linf = max(linf, e["linf_u"])
         l2p += e["l2_p"]; h1p += e["h1_p"]
         linfp = max(linfp, e["linf_p"])
+        prev_slab_start = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_slab_u = u_time
         prev_flat = S.pack(u_time[-1], p_time[-1])
         time += n_timesteps_at_once * tau
         n_slabs += 1
