@@ -346,7 +346,9 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
                    end_time: float = 2.0, u_max: float = 1.0,
                    preconditioner_factory=None, gmres_maxiter: int = 100,
                    rel_tol: float = 1e-8, n_slabs_max: int | None = None,
-                   strong_bc: bool = False, boundary_lift: bool = True):
+                   strong_bc: bool = False, boundary_lift: bool = True,
+                   functionals_path: str | None = None,
+                   probe_points=((0.5, 0.5),)):
     """Lid-driven cavity with a moving wall, weak (Nitsche) or strong.
 
     Reference setup (tests/json/tf05stokes.json + stokes::LidDriven,
@@ -485,6 +487,27 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
             res = res._replace(x=res.x * u_mask_flat[None] + xg_blocks(time))
         return res
 
+    # functionals: probe u + moving-wall force + divergence per time dof,
+    # resampled by the time-evaluation matrix (reference practical Stokes
+    # output, tp_03stokes.cc:918-996)
+    pe = writer = None
+    if functionals_path is not None:
+        from ..ops.functionals import (compute_divergence_norm,
+                                       compute_wall_force)
+        from ..utils.probes import FunctionalsWriter, PointEvaluator
+        pe = PointEvaluator(mesh, u_degree, probe_points)
+        writer = FunctionalsWriter(functionals_path, type_, fe_degree)
+
+        def functional_row(u_b, p_b):
+            vals = [v for c in range(dim) for v in pe(np.asarray(u_b[c]))]
+            dl = compute_wall_force(S, u_b, p_b, (0, 1))
+            vals += [dl[0], dl[1],
+                     compute_divergence_norm(S, jnp.asarray(u_b))]
+            return np.asarray(vals)
+
+        prev_row = functional_row(jnp.zeros((dim,) + S.dof_shape_u),
+                                  jnp.zeros(S.p_shape))
+
     prev_flat = jnp.zeros(S.n_u + S.n_p)
     time = 0.0
     iters = []
@@ -501,6 +524,14 @@ def run_lid_driven(refinement: int = 3, fe_degree: int = 1,
         means = jnp.sum(p_time[..., 0], axis=tuple(range(1, dim + 1))) \
             * float(np.prod(mesh.h)) / 1.0
         p_time = p_time.at[..., 0].add(-means.reshape((T,) + (1,) * dim))
+        if writer is not None:
+            for it in range(n_timesteps_at_once):
+                rows = np.stack([functional_row(u_time[it * nt + i],
+                                                p_time[it * nt + i])
+                                 for i in range(nt)])
+                writer.write_step(time + it * tau, tau, rows,
+                                  prev_row if is_cgp else None)
+                prev_row = rows[-1]
         prev_flat = S.pack(u_time[-1], p_time[-1])
         time += n_timesteps_at_once * tau
     u, p = S.unpack(prev_flat)

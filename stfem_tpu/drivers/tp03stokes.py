@@ -51,8 +51,67 @@ def run_single(p: Parameters, stokes_extra: StokesParameters, k: int,
         rel_tol=p.rel_tol, extrapolate=p.extrapolate)
 
 
+def run_practical(p: Parameters, stokes_extra: StokesParameters, k: int,
+                  ref: int, n_slabs_max: int | None = None):
+    """One practical-mode run (spaceTimeConvergenceTest=false): the
+    lid-driven cavity (dfgBenchmark 0, tf05stokes/tf06stokes + the
+    practical campaign) or the DFG channel (dfgBenchmark >= 1) with the
+    functionals file (probe values + wall/obstacle forces + divergence,
+    tp_03stokes.cc:918-996)."""
+    from ..stmg.gmg import build_stmg_stokes
+    from .stokes import run_dfg_square, run_lid_driven
+
+    def factory(ctx):
+        return build_stmg_stokes(
+            ctx["mesh"], ctx["fe_degree"], ctx["type_"],
+            ctx["n_timesteps_at_once"], ctx["time_step"],
+            viscosity=ctx["viscosity"], params=p.mg_data,
+            coarsening_type=p.coarsening_type,
+            time_before_space=p.time_before_space,
+            space_time_level_first=p.space_time_level_first,
+            use_pmg=p.use_pmg, fe_degree_min=max(p.fe_degree_min, 1),
+            weak_faces=ctx.get("weak_faces", ()),
+            free_faces=ctx.get("free_faces", ()),
+            weak_obstacle=ctx.get("weak_obstacle", False))
+
+    fac = factory if p.space_time_mg else None
+    if stokes_extra.dfg_benchmark == 0:
+        return run_lid_driven(
+            refinement=ref, fe_degree=k, type_=p.type,
+            n_timesteps_at_once=p.n_timesteps_at_once,
+            viscosity=stokes_extra.viscosity, end_time=p.end_time,
+            preconditioner_factory=fac,
+            gmres_maxiter=100 if fac else 1000, rel_tol=p.rel_tol,
+            n_slabs_max=n_slabs_max,
+            strong_bc=not p.nitsche_boundary,
+            functionals_path=p.functional_file)
+    return run_dfg_square(
+        refinement=ref, fe_degree=k, type_=p.type,
+        viscosity=stokes_extra.viscosity,
+        u_mean=stokes_extra.u_mean,
+        dfg_benchmark=stokes_extra.dfg_benchmark,
+        end_time=p.end_time,
+        n_slabs=n_slabs_max if n_slabs_max else 4,
+        preconditioner_factory=fac,
+        gmres_maxiter=150 if fac else 1500, rel_tol=p.rel_tol,
+        cylinder=(p.grid_descriptor == "dfgBenchmark"))
+
+
 def run_config(p: Parameters, stokes_extra: StokesParameters,
-               out=sys.stdout):
+               out=sys.stdout, n_slabs_max: int | None = None):
+    if not p.space_time_conv_test:
+        # practical mode: iteration log + functionals file, no error norms
+        if os.path.exists(p.functional_file):
+            os.remove(p.functional_file)
+        for k in range(p.fe_degree, p.fe_degree + p.n_deg_cycles):
+            for ref in range(p.refinement, p.refinement + p.n_ref_cycles):
+                res = run_practical(p, stokes_extra, k, ref, n_slabs_max)
+                iters = res["iterations"]
+                print(f"Average GMRES iterations "
+                      f"{sum(iters) / max(len(iters), 1):g} "
+                      f"({sum(iters)} gmres_iterations / {len(iters)} "
+                      f"timesteps)\n", file=out)
+        return
     table = ConvergenceTable()
     itable_rows = []
     for k in range(p.fe_degree, p.fe_degree + p.n_deg_cycles):

@@ -201,6 +201,80 @@ def compute_drag_lift_mapped(S: StokesOperator, u, p,
     return scale * F
 
 
+def compute_wall_force(S: StokesOperator, u, p, face, scale: float = 1.0
+                       ) -> np.ndarray:
+    """Traction integral over a DOMAIN-BOUNDARY plane (axis d0, side):
+    F = scale * int_face [p n - nu (grad u + grad u^T) n], n outward.
+    The lid-driven practical config reports forces on the moving wall
+    (reference compute_drag_lift over a boundary id, operators.h:1344-1389).
+    Uniform Cartesian meshes (the lid cavity grid)."""
+    import jax.numpy as jnp
+    d0, side = face
+    mesh = S.mesh
+    assert mesh.axis_steps is None and getattr(mesh, "_vertices", None) \
+        is None, "wall force implemented for uniform Cartesian meshes"
+    assert S.dg_pressure
+    dim, k = S.dim, S.u_degree
+    nu = S.viscosity
+    from ..mesh.fe_dgp import dgp_exponents, shifted_legendre_value
+    basis = LagrangeBasis(np.asarray(q_nodes_1d(k)))
+    qx, qw = gauss(S.n_q)
+    edge_x = 0.0 if side == 0 else 1.0
+    n_sign = -1.0 if side == 0 else 1.0
+    oth = [d for d in range(dim) if d != d0]
+    D1e = jnp.asarray(basis.deriv_matrix(np.array([edge_x]))[0], S.dtype)
+    eidx = 0 if side == 0 else -1
+    grid_sl = [slice(None)] * dim
+    grid_sl[d0] = eidx
+    layer_sl = [slice(None)] * dim
+    layer_sl[d0] = slice(0, k + 1) if side == 0 else slice(-(k + 1), None)
+    u = jnp.asarray(u)
+    # grads[c][e] at the face quad points, [*cells_oth, *q_oth]
+    grads = []
+    for c in range(dim):
+        uf = u[c][tuple(grid_sl)]
+        ul = u[c][tuple(layer_sl)]
+        dn = jnp.tensordot(D1e, jnp.moveaxis(ul, d0, 0), axes=(0, 0)) \
+            / mesh.h[d0]
+        ge = []
+        for e in range(dim):
+            if e == d0:
+                ge.append(S._trace_eval(dn, oth))
+            else:
+                j = oth.index(e)
+                mats = [S.D / mesh.h[d] if d == e else S.S for d in oth]
+                from .spatial import _sumfac, cell_gather as _cg
+                fc = _cg(uf, tuple(mesh.cells[d] for d in oth), k)
+                ge.append(_sumfac(mats, fc, dim - 1))
+        grads.append(ge)
+    # pressure trace (DGP modal of the boundary cell layer)
+    exps = dgp_exponents(dim, S.p_degree)
+    cell_sl = [slice(None)] * dim
+    cell_sl[d0] = eidx
+    p_b = np.asarray(p)[tuple(cell_sl)]
+    Pq = np.ones((len(exps),) + (S.n_q,) * (dim - 1))
+    for m_, e_ in enumerate(exps):
+        Pq[m_] *= shifted_legendre_value(e_[d0], np.array([edge_x]))[0]
+        for i, d in enumerate(oth):
+            shp = [1] * (dim - 1)
+            shp[i] = S.n_q
+            Pq[m_] = Pq[m_] * shifted_legendre_value(e_[d], qx).reshape(shp)
+    pq = np.tensordot(p_b, Pq, axes=(-1, 0))
+    wq = np.ones((S.n_q,) * (dim - 1))
+    for i, d in enumerate(oth):
+        shp = [1] * (dim - 1)
+        shp[i] = S.n_q
+        wq = wq * (qw * mesh.h[d]).reshape(shp)
+    F = np.zeros(dim)
+    for c in range(dim):
+        tau_c = -nu * (np.asarray(grads[c][d0]) + np.asarray(grads[d0][c])) \
+            * n_sign
+        if c == d0:
+            tau_c = tau_c + pq * n_sign
+        F[c] = np.sum(wq * tau_c)
+    return scale * F
+
+
 def compute_divergence_norm(S: StokesOperator, u) -> float:
     """sqrt(int_Omega (div u)^2) over active cells
     (reference operators.h:1391-1439)."""

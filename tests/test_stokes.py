@@ -100,6 +100,59 @@ def test_lid_driven_cavity():
     assert np.max(np.abs(u[1])) > 1e-3
 
 
+def test_tp03stokes_practical_mode(tmp_path):
+    """Practical Stokes config path (tf05stokes-style lid cavity,
+    spaceTimeConvergenceTest=false): driver dispatches to the lid app and
+    writes the functionals file (probe u + wall force + divergence rows
+    resampled by the time-evaluation matrix, tp_03stokes.cc:918-996)."""
+    import io
+    import json
+
+    import numpy as np
+    from stfem_tpu.config import Parameters, StokesParameters
+    from stfem_tpu.drivers.tp03stokes import run_config
+
+    cfg = {
+        "spaceTimeMg": "true", "timeType": "DG", "problemType": "stokes",
+        "spaceTimeConvergenceTest": "false", "nitscheBoundary": "true",
+        "gridDescriptor": "hyperRectangle", "endTime": "0.5",
+        "nTimestepsAtOnce": "1", "feDegree": "1", "nDegCycles": "1",
+        "nRefCycles": "1", "refinement": "2", "smoothingRange": "5.0",
+        "functionalFile": str(tmp_path / "stokes_lid.txt"),
+    }
+    path = tmp_path / "lid.json"
+    path.write_text(json.dumps(cfg))
+    p = Parameters.parse(str(path), 2)
+    out = io.StringIO()
+    run_config(p, StokesParameters(), out=out, n_slabs_max=2)
+    assert "Average GMRES iterations" in out.getvalue()
+    rows = [l.split() for l in open(cfg["functionalFile"]) if l.strip()]
+    assert len(rows) >= 4
+    # columns: t, u_x(p), u_y(p), F_x, F_y, div
+    assert all(len(r) == 6 for r in rows)
+    assert np.all(np.isfinite([[float(v) for v in r] for r in rows]))
+
+
+def test_wall_force_exact():
+    """compute_wall_force against an analytic traction: u = (a y, 0),
+    p = c on the unit square; on the x=1 wall (n = e_x) the traction is
+    (c, -nu a)."""
+    import numpy as np
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.functionals import compute_wall_force
+    from stfem_tpu.ops.stokes import StokesOperator
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=2)
+    S = StokesOperator(mesh, 2, 1, 3, viscosity=0.7)
+    coords = mesh.dof_coordinates(2)
+    a, c = 1.3, 0.45
+    u = np.stack([a * coords[..., 1], np.zeros(coords.shape[:-1])])
+    p = np.zeros(mesh.cells + (S.n_ploc,))
+    p[..., 0] = c
+    F = compute_wall_force(S, u, p, (0, 1))
+    np.testing.assert_allclose(F, [c, -0.7 * a], atol=1e-12)
+
+
 def test_navier_stokes_extrapolation_predictor():
     """The nonlinear extrapolation matrices drive the Picard predictor
     (reference extrapolate_nonlinear, fe_time.h:1223-1240; VERDICT r1:
