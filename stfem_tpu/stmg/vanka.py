@@ -323,6 +323,67 @@ class PreconditionVanka:
         if mode == "fastdiag" and _os.environ.get(
                 "STFEM_NO_SEP_VANKA") != "1":
             sep = separable_eigenbasis(K_op, M_op)
+        self.Wdn = self.Wup = None
+        self.GinvT = self.cvecT = self.TTg = None
+        if sep is not None and _os.environ.get(
+                "STFEM_GRID_VANKA", "1") != "0":
+            # GRID apply mode (TPU-first): fold take-gather, the valence
+            # scaling D^{-1}, and the per-axis eigenbasis V_d into ONE
+            # global banded matmul per axis ((nc*(k+1)) x (nc*k+1)); the
+            # transposed matrices perform the overlap-add scatter on the
+            # MXU.  The per-position time solve runs on a FLAT trailing
+            # axis (elementwise per position, so ordering is free -- the
+            # naive interleaved layout's (k+1)-sized trailing axis wastes
+            # 96% of each TPU vector tile and measured 7x SLOWER than the
+            # cell-major path; flat is layout-perfect).
+            lam_np, v_axes = sep
+            sdt = storage_dtype if storage_dtype is not None else dtype
+            Wdn, Wup = [], []
+            for d in range(self.dim):
+                nc = int(cells[d])
+                nd = nc * k + 1
+                v1 = np.ones(nd)
+                v1[k:nd - 1:k] = 2.0
+                Vd = np.asarray(v_axes[d])
+                dn = np.zeros((nc * (k + 1), nd))
+                up = np.zeros((nd, nc * (k + 1)))
+                for c in range(nc):
+                    rows = slice(c * (k + 1), (c + 1) * (k + 1))
+                    colsg = slice(c * k, c * k + k + 1)
+                    dn[rows, colsg] = Vd[c].T / v1[colsg][None, :]
+                    up[colsg, rows] += Vd[c]
+                Wdn.append(jnp.asarray(dn, sdt))
+                Wup.append(jnp.asarray(up, sdt))
+            self.Wdn, self.Wup = Wdn, Wup
+            # lam in flat interleaved (c1,a1,c2,a2,...) order
+            lam_grid = lam_np.reshape(tuple(int(c) for c in cells)
+                                      + (k + 1,) * self.dim)
+            perm = []
+            for d in range(self.dim):
+                perm += [d, self.dim + d]
+            lam_il = jnp.asarray(
+                np.transpose(lam_grid, perm).reshape(-1), dtype)
+            if self.n_steps > 1:
+                a__ = jnp.asarray(a_nt, dtype)
+                b__ = jnp.asarray(b_nt, dtype)
+                g__ = jnp.asarray(g_nt, dtype)
+                z__ = jnp.asarray(z_nt, dtype)
+
+                def grid_factors(lam_):
+                    G = lam_[:, None, None] * a__ + b__
+                    Ginv = jnp.linalg.inv(G)               # (N, nt, nt)
+                    gz = lam_[:, None] * g__ + z__
+                    cvec = jnp.einsum("nij,nj->ni", Ginv, gz)
+                    return jnp.transpose(Ginv, (1, 2, 0)), cvec.T
+
+                self.GinvT, self.cvecT = jax.jit(grid_factors)(lam_il)
+            else:
+                self.TTg = jax.jit(lambda lam_: jnp.transpose(
+                    jnp.linalg.inv(lam_[:, None, None] * A_ + B_),
+                    (1, 2, 0)))(lam_il)
+            self.V = self.Vsep = self.Binv = None
+            self.Ginv = self.cvec = self.TTinv = self.dinv = None
+            return
         if sep is not None and _os.environ.get(
                 "STFEM_SEP_VANKA_APPLY", "0") != "1":
             # materialize the dense V = (x)_d V_d from the per-axis factors
@@ -432,8 +493,56 @@ class PreconditionVanka:
                            self.Vsep[d], r)
         return r
 
+    def _vmult_grid(self, src: jnp.ndarray) -> jnp.ndarray:
+        """Grid apply: per-axis banded matmuls (gather+valence+V fused),
+        flat-layout per-position time solve, transposed matmuls scatter."""
+        nb = src.shape[0]
+        w = src.astype(self.dtype)
+        for d in range(self.dim):
+            ax = 1 + d
+            w = jnp.moveaxis(jnp.tensordot(self.Wdn[d], w, axes=(1, ax)),
+                             0, ax)
+        gshape = w.shape[1:]
+        N = int(np.prod(gshape))
+        if self.n_steps > 1:
+            S, nt = self.n_steps, nb // self.n_steps
+            ws = w.reshape(S, nt, N)
+            # nt x nt solve unrolled into broadcast FMAs (see vmult below)
+            y = jnp.stack(
+                [sum(self.GinvT[i, j] * ws[:, j] for j in range(nt))
+                 for i in range(nt)], axis=1)                # (S, nt, N)
+            u = y[:, -1]
+            kap = jnp.broadcast_to(self.cvecT[-1], u.shape)
+
+            def comb(first, second):
+                a1, b1 = first
+                a2, b2 = second
+                return a2 * a1, a2 * b1 + b2
+
+            _, last = jax.lax.associative_scan(comb, (kap, u), axis=0)
+            a_prev = jnp.concatenate(
+                [jnp.zeros_like(last[:1]), last[:-1]], axis=0)
+            y = y + a_prev[:, None] * self.cvecT[None]
+            w = y.reshape((nb,) + gshape)
+        else:
+            ws = w.reshape(nb, N)
+            if nb <= 8:
+                w = jnp.stack(
+                    [sum(self.TTg[t, s] * ws[s] for s in range(nb))
+                     for t in range(nb)], axis=0)
+            else:
+                w = jnp.einsum("tsn,sn->tn", self.TTg, ws)
+            w = w.reshape((nb,) + gshape)
+        for d in range(self.dim):
+            ax = 1 + d
+            w = jnp.moveaxis(jnp.tensordot(self.Wup[d], w, axes=(1, ax)),
+                             0, ax)
+        return w.astype(self.dtype)
+
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
         """src: [n_blocks, *dofshape] residual -> additive patch updates."""
+        if self.Wdn is not None:
+            return self._vmult_grid(src)
         src = src.astype(self.dtype)
         nb = src.shape[0]
         r = cell_gather(src, self.cells, self.k)   # [nb, *cells, *loc]

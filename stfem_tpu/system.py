@@ -10,6 +10,7 @@ block-mixing runs on the MXU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,12 +87,27 @@ class SystemMatrix:
                     K_op, M_op, A_np[nz], B_np[nz],
                     precision="highest" if precision is not None else None)
 
-        # fused quad-level middle (Pallas on TPU): precompute the full-cell
-        # basis matrix and per-cell quadrature weights for every
-        # diagonal-geometry mesh; mapped meshes use the XLA path
+        # Diagonal-geometry middles, fastest first (mapped meshes use the
+        # cell-local XLA path; f64 on an accelerator stays cell-local too:
+        # TPU f64 is software-emulated, so the apply is FLOP-bound and both
+        # alternatives' extra MACs lose -- measured 8^3 IR bench: the f64
+        # residual matvecs were ~0.3 s of a 0.7 s solve with full-basis):
+        #  1. gather-free grid sum-factorization (ops/gridsumfac.py):
+        #     per-axis global banded matmuls, no cell gather/scatter --
+        #     measured 2.9x over (2) at 8^3 ntao=32 on-chip
+        #  2. full-cell-basis quad middle (STFEM_GRID_SUMFAC=0 fallback)
+        self._grid = None
+        f64_emulated = (np.dtype(self.dtype) == np.float64
+                        and jax.default_backend() != "cpu")
+        if (K_op.jinv is None and not f64_emulated
+                and os.environ.get("STFEM_GRID_SUMFAC") != "0"):
+            from .ops.gridsumfac import GridSumFac
+            self._grid = GridSumFac(K_op, M_op, self.dtype)
         self._phig = None
         self._w = None
-        if K_op.jinv is None and os.environ.get("STFEM_NO_PALLAS") != "1":
+        if (self._grid is None and K_op.jinv is None
+                and os.environ.get("STFEM_NO_PALLAS") != "1"
+                and not f64_emulated):
             dim, k = K_op.dim, K_op.degree
             cells = K_op.cells
             C = int(np.prod(cells))
@@ -156,23 +172,36 @@ class SystemMatrix:
 
     def _mix(self, which: str, transpose: bool, x):
         """Apply the (possibly structured) block mixing: which in
-        {'alpha','beta'}; x: [n_blocks, ...]."""
+        {'alpha','beta'}; x: [n_blocks, ...].
+
+        The bidiagonal step structure is used ONLY for emulated-f64
+        applies, where its ~(s/2)x flop cut pays for the two extra
+        kernels; for hardware dtypes the dense (n x n) mix is ONE MXU
+        matmul and measures 12x faster than the structured form
+        (0.34 ms vs 4.1 ms at 8^3 ntao=32 -- the .at[].add scatter
+        variant of the structured mix was the round-2 throughput
+        regression; see scripts/grid_bisect.py)."""
         if which == "alpha":
             dense, M0, M1 = self.Alpha, self.A0, self.A1
         else:
             dense, M0, M1 = self.Beta, self.B0, self.B1
-        if self.step_nt is None or x.shape[0] != self.n_blocks:
+        f64_emulated = (np.dtype(self.dtype) == np.float64
+                        and jax.default_backend() != "cpu")
+        if (self.step_nt is None or x.shape[0] != self.n_blocks
+                or not f64_emulated):
             M = dense.T if transpose else dense
             return jnp.einsum("ji,i...->j...", M, x)
         nt = self.step_nt
         s = x.shape[0] // nt
         xs = x.reshape((s, nt) + x.shape[1:])
         if transpose:
-            y = jnp.einsum("ij,si...->sj...", M0, xs)
-            y = y.at[:-1].add(jnp.einsum("ij,si...->sj...", M1, xs[1:]))
+            y0 = jnp.einsum("ij,si...->sj...", M0, xs)
+            tail = y0[:-1] + jnp.einsum("ij,si...->sj...", M1, xs[1:])
+            y = jnp.concatenate([tail, y0[-1:]], axis=0)
         else:
-            y = jnp.einsum("ji,si...->sj...", M0, xs)
-            y = y.at[1:].add(jnp.einsum("ji,si...->sj...", M1, xs[:-1]))
+            y0 = jnp.einsum("ji,si...->sj...", M0, xs)
+            tail = y0[1:] + jnp.einsum("ji,si...->sj...", M1, xs[:-1])
+            y = jnp.concatenate([y0[:1], tail], axis=0)
         return y.reshape(x.shape)
 
     @property
@@ -203,6 +232,14 @@ class SystemMatrix:
         S, D = K.S, K.D
         mix_a = lambda v: self._mix("alpha", transpose, v)
         mix_b = lambda v: self._mix("beta", transpose, v)
+
+        if self._grid is not None:
+            xin = x * K.mask if mask_input else x
+            y = self._grid.apply(xin, mix_a, mix_b, alpha_zero, beta_zero)
+            if y is None:
+                return jnp.zeros((self.n_blocks,) + tuple(self.dof_shape),
+                                 self.dtype)
+            return y * K.mask
 
         u = cell_gather(x * K.mask if mask_input else x, cells, k)
         if self._phig is not None:

@@ -114,3 +114,47 @@ def test_coefficient_field():
     assert not np.allclose(y_c, y_1)
     # energy with coefficient >= energy without (coeff >= 1)
     assert float(jnp.sum(x * op_c.apply(x))) >= float(jnp.sum(x * op_1.apply(x))) - 1e-12
+
+
+@pytest.mark.parametrize("dim,cells,coeff,nonuni", [
+    (1, (5,), False, False),
+    (2, (3, 4), False, True),
+    (3, (3, 3, 3), True, False),
+    (2, (4, 4), True, True),
+])
+def test_grid_sumfac_parity(dim, cells, coeff, nonuni, monkeypatch):
+    """Gather-free grid sum-factorization (ops/gridsumfac.py) must agree
+    with the cell-local path to machine precision for vmult, vmult_slice,
+    and Tvmult on uniform / non-uniform / coefficient meshes."""
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+    from stfem_tpu.types import TimeStepType
+
+    rng = np.random.default_rng(3)
+    if nonuni:
+        mesh = StructuredMesh(
+            list(cells), [0.0] * dim, [1.0] * dim,
+            axis_steps=[np.sort(rng.uniform(0.5, 1.5, c)) for c in cells])
+    else:
+        mesh = StructuredMesh(list(cells), [0.0] * dim, [1.0] * dim)
+    cf = (lambda p: 1.0 + 0.5 * np.sin(3 * p[..., 0])) if coeff else None
+    k = 3
+    K = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0, dtype=jnp.float64,
+                            coefficient=cf)
+    M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0, dtype=jnp.float64,
+                            coefficient=cf)
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, 2)
+    m_grid = SystemMatrix(K, M, A, B, precision=None)
+    monkeypatch.setenv("STFEM_GRID_SUMFAC", "0")
+    m_ref = SystemMatrix(K, M, A, B, precision=None)
+    monkeypatch.delenv("STFEM_GRID_SUMFAC")
+    assert m_grid._grid is not None and m_ref._grid is None
+    x = jnp.asarray(rng.standard_normal((A.shape[0],) + tuple(K.dof_shape)))
+    for name, fg, fr in [("vmult", m_grid.vmult, m_ref.vmult),
+                         ("Tvmult", m_grid.Tvmult, m_ref.Tvmult)]:
+        yg, yr = fg(x), fr(x)
+        np.testing.assert_allclose(np.asarray(yg), np.asarray(yr),
+                                   rtol=1e-12, atol=1e-13, err_msg=name)
+    sg, sr = m_grid.vmult_slice(x[0]), m_ref.vmult_slice(x[0])
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(sr),
+                               rtol=1e-12, atol=1e-13, err_msg="slice")

@@ -66,9 +66,20 @@ def test_vanka_fastdiag_scan_equals_dense():
     K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0)
     M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0)
     rng = np.random.default_rng(7)
+    import os
     for type_, r in [(TimeStepType.DG, 1), (TimeStepType.CGP, 2)]:
         A, B, _, _ = get_fe_time_weights(type_, r, 0.125, 4)
-        v_scan = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
+        # grid apply (per-axis banded matmuls) is the default on this
+        # uniform unmapped mesh; the cell-major scan path stays under
+        # STFEM_GRID_VANKA=0
+        v_grid = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
+        assert v_grid.n_steps == 4 and v_grid.Wdn is not None
+        os.environ["STFEM_GRID_VANKA"] = "0"
+        try:
+            v_scan = PreconditionVanka(K, M, A, B, mode="fastdiag",
+                                       n_steps=4)
+        finally:
+            del os.environ["STFEM_GRID_VANKA"]
         assert v_scan.n_steps == 4 and v_scan.Ginv is not None
         v_dense = PreconditionVanka(K, M, A, B, mode="dense")
         # defects are interior-supported in the solver (rhs and operator
@@ -88,16 +99,17 @@ def test_vanka_fastdiag_scan_equals_dense():
     # unmapped mesh and exact vs both the dense-eigh fastdiag and the dense
     # inverse (round-2: kills the batched C x A x A eigh at setup and the
     # dense V matmul in the apply)
-    import os
     A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 1, 0.125, 4)
-    # default: dense V materialized from the per-axis factors (no eigh)
+    # default: grid apply (banded matmuls built from the per-axis factors)
     v_auto = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
-    assert v_auto.V is not None and v_auto.Vsep is None
+    assert v_auto.Wdn is not None and v_auto.V is None
     os.environ["STFEM_SEP_VANKA_APPLY"] = "1"
+    os.environ["STFEM_GRID_VANKA"] = "0"
     try:
         v_fac = PreconditionVanka(K, M, A, B, mode="fastdiag", n_steps=4)
     finally:
         del os.environ["STFEM_SEP_VANKA_APPLY"]
+        del os.environ["STFEM_GRID_VANKA"]
     assert v_fac.Vsep is not None
     os.environ["STFEM_NO_SEP_VANKA"] = "1"
     try:
@@ -122,7 +134,7 @@ def test_vanka_fastdiag_scan_equals_dense():
     A, B, G, Z = get_fe_time_weights(TimeStepType.DG, 1, 0.125, 1)
     Aw, Bw = get_fe_time_weights_wave(TimeStepType.DG, A, B, G, Z, 4)[:2]
     v_wave = PreconditionVanka(K, M, Aw, Bw, mode="fastdiag", n_steps=4)
-    assert v_wave.n_steps == 1 and v_wave.TTinv is not None
+    assert v_wave.n_steps == 1 and v_wave.TTg is not None
     v_wave_dense = PreconditionVanka(K, M, Aw, Bw, mode="dense")
     src = jnp.asarray(rng.standard_normal((Aw.shape[0],)
                                           + mesh.dof_shape(2))) * K.mask
