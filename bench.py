@@ -135,6 +135,9 @@ def main():
                                           vanka_bf16=vanka_bf16,
                                           smoother_inner_iterations=inner,
                                           skip_identity_levels=skip_id,
+                                          level_bf16=os.environ.get(
+                                              "STFEM_BENCH_LEVEL_BF16",
+                                              "0") == "1",
                                           smooth_all_levels=os.environ.get(
                                               "STFEM_BENCH_SMOOTHALL",
                                               "0") == "1"),
@@ -181,9 +184,11 @@ def main():
     f_scales = np.array([Alpha[row, row] for row in range(n_blocks)],
                         np.float32)
 
-    # default FGMRES basis scales with the problem: 18 suffices at 8^3;
-    # larger grids need more headroom (ADVICE r1)
-    default_maxiter = 18 if cells_per_axis <= 8 else 40
+    # default FGMRES basis scales with the problem: 18 suffices at 8^3
+    # (8-10.5 avg iters); 16^3 runs 9 avg iters since the ladder-ordering
+    # fix, so 24 is 2.5x headroom -- basis length is HBM footprint AND
+    # Gram-Schmidt traffic (V+Z at 16^3: 40 slots = 8 GB, 24 = 4.9 GB)
+    default_maxiter = 18 if cells_per_axis <= 8 else 24
     bench_maxiter = int(os.environ.get("STFEM_BENCH_MAXITER",
                                        str(default_maxiter)))
     reorth = os.environ.get("STFEM_BENCH_REORTH", "1") == "1"

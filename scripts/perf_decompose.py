@@ -57,12 +57,22 @@ def main():
         Alpha, Beta, _, _ = get_fe_time_weights(
             TimeStepType.DG, fe_degree, tau, n_at_once)
         matrix = SystemMatrix(K, M, Alpha, Beta)
+        inner_env = os.environ.get("STFEM_BENCH_INNER", "")
         gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=smoothing_steps,
                                           variable=False,
-                                          coarse_grid_smoother_type="GMRES",
-                                          vanka_bf16=vanka_bf16))
+                                          coarse_grid_smoother_type=os.environ.get(
+                                              "STFEM_BENCH_COARSE", "GMRES"),
+                                          vanka_bf16=vanka_bf16,
+                                          smoother_inner_iterations=(
+                                              int(inner_env) if inner_env
+                                              else None),
+                                          skip_identity_levels=os.environ.get(
+                                              "STFEM_BENCH_SKIPID", "0") == "1",
+                                          level_bf16=os.environ.get(
+                                              "STFEM_BENCH_LEVEL_BF16",
+                                              "0") == "1"))
     n_blocks = Alpha.shape[0]
     shape = (n_blocks,) + mesh.dof_shape(space_degree)
     tpu = jax.devices()[0]
@@ -131,17 +141,31 @@ def main():
             out[f"lvl{li}_info"] = f"{t} blocks={lvl.n_blocks} " \
                 f"dofs={int(np.prod(lvl.dof_shape))}"
 
-    @jax.jit
-    def outer(x):
+    maxiter_env = int(os.environ.get("STFEM_BENCH_MAXITER", "10"))
+
+    @partial(jax.jit, static_argnums=(0,))
+    def outer(use_precond, x):
         res = fgmres(matrix.vmult, x, jnp.zeros_like(x),
-                     precondition=gmg.vmult, maxiter=10, abstol=0.0,
+                     precondition=gmg.vmult if use_precond else None,
+                     maxiter=maxiter_env, abstol=0.0,
                      reltol=0.0)
         return res.x
-    y = outer(x0); _ = float(jnp.sum(y))
+
+    # no-preconditioner run isolates the outer cost (A apply + Gram-Schmidt
+    # + basis traffic) from the V-cycle
+    y = outer(False, x0); _ = float(jnp.sum(y))
     t0 = time.time(); _ = float(jnp.sum(x0)); rb = time.time() - t0
-    t0 = time.time(); y = outer(x0); _ = float(jnp.sum(y))
+    t0 = time.time()
+    y = outer(False, x0); _ = float(jnp.sum(y))
+    noprec = max(time.time() - t0 - rb, 0.0)
+    out["fgmres_noprec_ms"] = 1e3 * noprec
+    out["fgmres_noprec_per_iter_ms"] = 1e3 * noprec / maxiter_env
+
+    y = outer(True, x0); _ = float(jnp.sum(y))
+    t0 = time.time(); _ = float(jnp.sum(x0)); rb = time.time() - t0
+    t0 = time.time(); y = outer(True, x0); _ = float(jnp.sum(y))
     out["fgmres10_ms"] = 1e3 * (time.time() - t0 - rb)
-    out["fgmres_per_iter_ms"] = out["fgmres10_ms"] / 10.0
+    out["fgmres_per_iter_ms"] = out["fgmres10_ms"] / maxiter_env
     print(json.dumps(out))
 
 

@@ -66,7 +66,12 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     tol = jnp.maximum(abstol, reltol * beta)
 
     vdtype = basis_dtype or dtype
-    V = jnp.zeros((m + 1, n), vdtype)
+    # rows padded to a multiple of the Gram-Schmidt chunk so the chunked
+    # dynamic slices never clamp (a clamped slice would re-read -- and
+    # re-project -- the tail rows)
+    _CH = 8
+    m_pad = ((m + 1 + _CH - 1) // _CH) * _CH
+    V = jnp.zeros((m_pad, n), vdtype)
     Z = jnp.zeros((m, n), dtype)
     H = jnp.zeros((m + 1, m), dtype)   # Givens-rotated (upper triangular) R
     cs = jnp.zeros(m, dtype)
@@ -88,15 +93,34 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         Z = Z.at[j].set(z.reshape(-1))
 
         # classical Gram-Schmidt (+ optional reorthogonalization); rows > j
-        # of V are zero so the full-basis contraction is exact.  True-f32
-        # products (TPU matmuls default to bf16 passes, which breaks the
+        # of V are zero so restricting the contraction to the CHUNKS that
+        # cover rows 0..j is exact -- and reads only the filled prefix of
+        # the basis instead of all m+1 rows (basis traffic is the dominant
+        # outer-solver cost at 16^3+: 105 MB/vector).  True-f32 products
+        # (TPU matmuls default to bf16 passes, which breaks the
         # orthogonality the residual estimate relies on)
+        CH = _CH
+        n_active = j // CH + 1
+
+        def gs_pass(w):
+            def hc_body(c, h):
+                blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    h, blk @ w, c * CH, 0)
+            h = jax.lax.fori_loop(0, n_active, hc_body,
+                                  jnp.zeros(V.shape[0], dtype))
+
+            def proj_body(c, wv):
+                blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
+                hc = jax.lax.dynamic_slice_in_dim(h, c * CH, CH, 0)
+                return wv - blk.T @ hc
+            w = jax.lax.fori_loop(0, n_active, proj_body, w)
+            return h[: m + 1], w
+
         with jax.default_matmul_precision("highest"):
-            h1 = V @ w
-            w = w - V.T @ h1
+            h1, w = gs_pass(w)
             if reorthogonalize:
-                h2 = V @ w
-                w = w - V.T @ h2
+                h2, w = gs_pass(w)
                 h = h1 + h2
             else:
                 h = h1

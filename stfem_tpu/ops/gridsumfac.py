@@ -21,7 +21,7 @@ import numpy as np
 
 from ..utils.module import register_module
 
-__all__ = ["GridSumFac"]
+__all__ = ["GridSumFac", "axis_apply"]
 
 
 def _interleave(full: np.ndarray, cells, nq: int) -> np.ndarray:
@@ -32,6 +32,23 @@ def _interleave(full: np.ndarray, cells, nq: int) -> np.ndarray:
         perm += [d, dim + d]
     a = np.transpose(full, perm)
     return a.reshape(tuple(int(cells[d]) * nq for d in range(dim)))
+
+
+def axis_apply(M, x, axis):
+    """Contract M (out, in) against x's `axis`, result axis in place.
+
+    Default "tensordot" (moveaxis copies) MEASURES FASTER on TPU than the
+    in-place einsum contraction (16^3 grid matvec 8.9 vs 14.3 ms; XLA's
+    dot_general on a middle axis relayouts worse than explicit copies).
+    STFEM_AX_STYLE=einsum for A/B.
+    """
+    import os
+    if os.environ.get("STFEM_AX_STYLE", "tensordot") == "tensordot":
+        return jnp.moveaxis(jnp.tensordot(M, x, axes=(1, axis)), 0, axis)
+    letters = "abcdefghijklm"
+    sub = letters[: x.ndim]
+    out = sub[:axis] + "z" + sub[axis + 1:]
+    return jnp.einsum(f"z{sub[axis]},{sub}->{out}", M, x)
 
 
 @register_module
@@ -88,7 +105,7 @@ class GridSumFac:
                 dtype))
 
     def _ax(self, M, x, axis):
-        return jnp.moveaxis(jnp.tensordot(M, x, axes=(1, axis)), 0, axis)
+        return axis_apply(M, x, axis)
 
     def apply(self, x, mix_a, mix_b, alpha_zero: bool, beta_zero: bool):
         """x: [..., *dofshape] -> same shape; mix_a/mix_b map the leading

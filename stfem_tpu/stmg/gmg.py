@@ -81,6 +81,14 @@ class GMGParams:
     # (reference smoothing DEGREE); None = same as smoothing_steps (the
     # historical wiring, which applies steps twice: degree x MG steps)
     smoother_inner_iterations: int | None = None
+    # Run the WHOLE V-cycle in bfloat16 (level operators, Vanka down/up
+    # matmuls, transfers): halves the HBM traffic of the grid-sumfac
+    # temporaries, which bound the fine-level cost.  The Vanka time-solve
+    # factors and the coarse direct inverse stay f32 (bf16 per-step
+    # recurrences lose the scan); the outer Krylov stays in the caller's
+    # dtype (flexible GMRES tolerates the inexact preconditioner).
+    # Heat/wave hierarchy only (build_stmg); requires grid-mode Vanka.
+    level_bf16: bool = False
     # Give EVERY level a real smoother instead of the reference's
     # Identity-on-paired-levels scheme.  NOT needed for h-robustness: the
     # round-2 root cause of the h-growth was the LADDER ORDERING
@@ -141,9 +149,11 @@ class GMG:
         shape = (lvl.n_blocks,) + tuple(lvl.dof_shape)
         eye = jnp.eye(n, dtype=self.dtype).reshape((n,) + shape)
         cols = jax.jit(jax.vmap(lvl.matrix.vmult))(eye).reshape(n, n)
-        A = cols.T
+        # the inverse is computed and stored in f32 even for bf16 levels
+        # (bf16 LU of the assembled coarse system is not reliable)
+        A = cols.T.astype(jnp.float32)
         # unit diagonal on constrained (masked-away) dofs
-        zero_rows = (jnp.max(jnp.abs(A), axis=1) == 0.0).astype(self.dtype)
+        zero_rows = (jnp.max(jnp.abs(A), axis=1) == 0.0).astype(jnp.float32)
         A = A + jnp.diag(zero_rows)
         return jnp.linalg.inv(A)
 
@@ -178,8 +188,9 @@ class GMG:
 
     def _coarse_solve(self, defect):
         if self.coarse_Ainv is not None:
-            d = defect.astype(self.dtype).reshape(-1)
-            return (self.coarse_Ainv @ d).reshape(defect.shape)
+            d = defect.astype(jnp.float32).reshape(-1)
+            return (self.coarse_Ainv @ d).reshape(
+                defect.shape).astype(self.dtype)
         if self.params.coarse_grid_smoother_type == "Smoother":
             return self._apply_smoother(0, defect)
         lvl = self.levels[0]
@@ -241,6 +252,8 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
     """
     if params is None:
         params = GMGParams()
+    if params.level_bf16:
+        dtype = jnp.bfloat16
     is_cgp = type_ == TimeStepType.CGP
     if fe_degree_min is None:
         fe_degree_min = max(fe_degree - 1, 1 if is_cgp else 0)
@@ -349,9 +362,14 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                         import jax as _jax
                         m_est, v_est = _jax.device_put((matrix, vanka),
                                                        eig_device)
+                    # bf16 probe vectors lose the power-iteration norms --
+                    # the estimate runs on an f32 probe (the bf16 level ops
+                    # promote, so temps stay f32 inside the estimate)
+                    est_dtype = (jnp.float32 if params.level_bf16 else dtype)
                     info = estimate_eigenvalues(
                         m_est, v_est,
-                        (n_blocks,) + tuple(lvl.dof_shape), K.mask_np, dtype,
+                        (n_blocks,) + tuple(lvl.dof_shape), K.mask_np,
+                        est_dtype,
                         params.smoothing_eig_cg_n_iterations,
                         params.eig_safety_factor, device=(
                             eig_device if n_sp >= eig_device_min_dofs

@@ -43,7 +43,9 @@ import functools
 def _power_jit(matrix, precond, v0, n_iterations):
     def body(_, carry):
         v, lam = carry
-        w = precond.vmult(matrix.vmult(v))
+        # bf16 level operators return bf16; the estimate arithmetic stays
+        # in the probe dtype
+        w = precond.vmult(matrix.vmult(v)).astype(v.dtype)
         lam = jnp.vdot(v.reshape(-1), w.reshape(-1))
         v = w / jnp.linalg.norm(w.reshape(-1))
         return v, lam

@@ -338,6 +338,12 @@ class PreconditionVanka:
             # cell-major path; flat is layout-perfect).
             lam_np, v_axes = sep
             sdt = storage_dtype if storage_dtype is not None else dtype
+            # the per-step time-solve factors stay f32 even for bf16 level
+            # dtype: bf16 per-step recurrences lose the associative scan
+            # (the round-1 multi-step NaN); only the big down/up matmul
+            # matrices ride at reduced precision
+            fdt = (jnp.float32 if np.dtype(dtype) == np.dtype(jnp.bfloat16)
+                   else dtype)
             Wdn, Wup = [], []
             for d in range(self.dim):
                 nc = int(cells[d])
@@ -362,12 +368,12 @@ class PreconditionVanka:
             for d in range(self.dim):
                 perm += [d, self.dim + d]
             lam_il = jnp.asarray(
-                np.transpose(lam_grid, perm).reshape(-1), dtype)
+                np.transpose(lam_grid, perm).reshape(-1), fdt)
             if self.n_steps > 1:
-                a__ = jnp.asarray(a_nt, dtype)
-                b__ = jnp.asarray(b_nt, dtype)
-                g__ = jnp.asarray(g_nt, dtype)
-                z__ = jnp.asarray(z_nt, dtype)
+                a__ = jnp.asarray(a_nt, fdt)
+                b__ = jnp.asarray(b_nt, fdt)
+                g__ = jnp.asarray(g_nt, fdt)
+                z__ = jnp.asarray(z_nt, fdt)
 
                 def grid_factors(lam_):
                     G = lam_[:, None, None] * a__ + b__
@@ -379,11 +385,16 @@ class PreconditionVanka:
                 self.GinvT, self.cvecT = jax.jit(grid_factors)(lam_il)
             else:
                 self.TTg = jax.jit(lambda lam_: jnp.transpose(
-                    jnp.linalg.inv(lam_[:, None, None] * A_ + B_),
+                    jnp.linalg.inv(lam_[:, None, None] * A_.astype(fdt)
+                                   + B_.astype(fdt)),
                     (1, 2, 0)))(lam_il)
             self.V = self.Vsep = self.Binv = None
             self.Ginv = self.cvec = self.TTinv = self.dinv = None
             return
+        assert np.dtype(self.dtype) != np.dtype(jnp.bfloat16), \
+            "bf16 Vanka dtype (GMGParams.level_bf16) requires the grid " \
+            "apply mode (separable eigenbasis + STFEM_GRID_VANKA); the " \
+            "dense builds are not bf16-safe"
         if sep is not None and _os.environ.get(
                 "STFEM_SEP_VANKA_APPLY", "0") != "1":
             # materialize the dense V = (x)_d V_d from the per-axis factors
@@ -496,12 +507,11 @@ class PreconditionVanka:
     def _vmult_grid(self, src: jnp.ndarray) -> jnp.ndarray:
         """Grid apply: per-axis banded matmuls (gather+valence+V fused),
         flat-layout per-position time solve, transposed matmuls scatter."""
+        from ..ops.gridsumfac import axis_apply
         nb = src.shape[0]
         w = src.astype(self.dtype)
         for d in range(self.dim):
-            ax = 1 + d
-            w = jnp.moveaxis(jnp.tensordot(self.Wdn[d], w, axes=(1, ax)),
-                             0, ax)
+            w = axis_apply(self.Wdn[d], w, 1 + d)
         gshape = w.shape[1:]
         N = int(np.prod(gshape))
         if self.n_steps > 1:
@@ -533,10 +543,12 @@ class PreconditionVanka:
             else:
                 w = jnp.einsum("tsn,sn->tn", self.TTg, ws)
             w = w.reshape((nb,) + gshape)
+        # back to the working dtype BEFORE the up matmuls so bf16 levels
+        # keep bf16 temporaries (the f32 time-solve factors promote the
+        # middle; the cast confines that to the small solve stage)
+        w = w.astype(self.dtype)
         for d in range(self.dim):
-            ax = 1 + d
-            w = jnp.moveaxis(jnp.tensordot(self.Wup[d], w, axes=(1, ax)),
-                             0, ax)
+            w = axis_apply(self.Wup[d], w, 1 + d)
         return w.astype(self.dtype)
 
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:

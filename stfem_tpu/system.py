@@ -88,14 +88,15 @@ class SystemMatrix:
                     precision="highest" if precision is not None else None)
 
         # Diagonal-geometry middles, fastest first (mapped meshes use the
-        # cell-local XLA path; f64 on an accelerator stays cell-local too:
-        # TPU f64 is software-emulated, so the apply is FLOP-bound and both
-        # alternatives' extra MACs lose -- measured 8^3 IR bench: the f64
-        # residual matvecs were ~0.3 s of a 0.7 s solve with full-basis):
+        # cell-local XLA path):
         #  1. gather-free grid sum-factorization (ops/gridsumfac.py):
-        #     per-axis global banded matmuls, no cell gather/scatter --
-        #     measured 2.9x over (2) at 8^3 ntao=32 on-chip
+        #     per-axis global banded matmuls, no cell gather/scatter
         #  2. full-cell-basis quad middle (STFEM_GRID_SUMFAC=0 fallback)
+        # Emulated f64 (TPU software double-double) takes the FULL-BASIS
+        # middle: measured 8^3 ntao=32 f64 matvec 127 ms full-basis vs
+        # 956 ms cell-local vs 1100 ms grid (scripts/matvec_probe.py) --
+        # emulated f64 elementwise ops are so expensive that the form with
+        # the fewest non-matmul ops wins, not the one with fewest MACs.
         self._grid = None
         f64_emulated = (np.dtype(self.dtype) == np.float64
                         and jax.default_backend() != "cpu")
@@ -106,8 +107,7 @@ class SystemMatrix:
         self._phig = None
         self._w = None
         if (self._grid is None and K_op.jinv is None
-                and os.environ.get("STFEM_NO_PALLAS") != "1"
-                and not f64_emulated):
+                and os.environ.get("STFEM_NO_PALLAS") != "1"):
             dim, k = K_op.dim, K_op.degree
             cells = K_op.cells
             C = int(np.prod(cells))
