@@ -137,7 +137,9 @@ def main():
                                           skip_identity_levels=skip_id,
                                           level_bf16=os.environ.get(
                                               "STFEM_BENCH_LEVEL_BF16",
-                                              "0") == "1",
+                                              "1") == "1",
+                                          eig_proxy_cells=int(os.environ.get(
+                                              "STFEM_BENCH_EIG_PROXY", "4")),
                                           smooth_all_levels=os.environ.get(
                                               "STFEM_BENCH_SMOOTHALL",
                                               "0") == "1"),

@@ -89,6 +89,16 @@ class GMGParams:
     # dtype (flexible GMRES tolerates the inexact preconditioner).
     # Heat/wave hierarchy only (build_stmg); requires grid-mode Vanka.
     level_bf16: bool = False
+    # >0: estimate the smoother eigenvalues on a PROXY mesh of this many
+    # cells per axis with the SAME cell size h, element degree, and time
+    # tables.  lambda_max(P A) of the Vanka-smoothed operator is
+    # h-independent (the method's own h-robustness), so a tiny local
+    # problem reproduces it; the faithful per-level power iteration is
+    # O(level dofs) per sweep and dominates setup at 16^3+ (measured
+    # 386 s of a ~400 s CPU setup).  0 = faithful (reference semantics);
+    # applies only to uniform unmapped coefficient-free levels larger
+    # than the proxy.
+    eig_proxy_cells: int = 0
     # Give EVERY level a real smoother instead of the reference's
     # Identity-on-paired-levels scheme.  NOT needed for h-robustness: the
     # round-2 root cause of the h-growth was the LADDER ORDERING
@@ -357,10 +367,48 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     # 20 (vmult + vanka) sweeps dominate the whole setup
                     # (measured 164 s of 200 s at 16^3, scripts/setup_profile)
                     m_est, v_est = matrix, vanka
-                    n_sp = int(np.prod(lvl.dof_shape))
+                    est_shape = (n_blocks,) + tuple(lvl.dof_shape)
+                    est_mask = K.mask_np
+                    p = params.eig_proxy_cells
+                    if (p > 0 and mesh_l.axis_steps is None
+                            and getattr(mesh_l, "_vertices", None) is None
+                            and mesh_l.distort == 0.0
+                            and laplace_coefficient is None
+                            and all(int(c) > p for c in mesh_l.cells)):
+                        pm = StructuredMesh(
+                            [p] * mesh_l.dim, [0.0] * mesh_l.dim,
+                            [p * float(mesh_l.h[d])
+                             for d in range(mesh_l.dim)], refinement=0)
+                        # proxy estimates run host-side; the XLA apply is
+                        # what we want there (interpret-mode pallas would
+                        # dominate the 20 power sweeps)
+                        import os as _os
+                        _old_pg = _os.environ.get("STFEM_PALLAS_GRID")
+                        _os.environ["STFEM_PALLAS_GRID"] = "0"
+                        try:
+                            Kp_ = LaplaceMassOperator(pm, deg_l, deg_l + 1,
+                                                      0.0, 1.0, dtype=dtype)
+                            Mp_ = LaplaceMassOperator(pm, deg_l, deg_l + 1,
+                                                      1.0, 0.0, dtype=dtype)
+                            m_est = SystemMatrix(Kp_, Mp_, Alpha_l, Beta_l,
+                                                 precision=None)
+                            v_est = PreconditionVanka(
+                                Kp_, Mp_, Alpha_l, Beta_l, dtype=dtype,
+                                storage_dtype=(jnp.bfloat16
+                                               if params.vanka_bf16
+                                               else None),
+                                n_steps=n_at_once[l])
+                        finally:
+                            if _old_pg is None:
+                                _os.environ.pop("STFEM_PALLAS_GRID", None)
+                            else:
+                                _os.environ["STFEM_PALLAS_GRID"] = _old_pg
+                        est_shape = (n_blocks,) + tuple(pm.dof_shape(deg_l))
+                        est_mask = Kp_.mask_np
+                    n_sp = int(np.prod(est_shape[1:]))
                     if eig_device is not None and n_sp >= eig_device_min_dofs:
                         import jax as _jax
-                        m_est, v_est = _jax.device_put((matrix, vanka),
+                        m_est, v_est = _jax.device_put((m_est, v_est),
                                                        eig_device)
                     # bf16 probe vectors lose the power-iteration norms --
                     # the estimate runs on an f32 probe (the bf16 level ops
@@ -368,7 +416,7 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     est_dtype = (jnp.float32 if params.level_bf16 else dtype)
                     info = estimate_eigenvalues(
                         m_est, v_est,
-                        (n_blocks,) + tuple(lvl.dof_shape), K.mask_np,
+                        est_shape, est_mask,
                         est_dtype,
                         params.smoothing_eig_cg_n_iterations,
                         params.eig_safety_factor, device=(

@@ -39,8 +39,10 @@ def initial_guess(shape_blocks, mask, dtype) -> jnp.ndarray:
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _power_jit(matrix, precond, v0, n_iterations):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _power_jit(matrix, precond, v0, n_iterations, no_pallas=False):
+    from ..ops import pallas_grid
+
     def body(_, carry):
         v, lam = carry
         # bf16 level operators return bf16; the estimate arithmetic stays
@@ -50,18 +52,25 @@ def _power_jit(matrix, precond, v0, n_iterations):
         v = w / jnp.linalg.norm(w.reshape(-1))
         return v, lam
 
-    v = v0 / jnp.linalg.norm(v0.reshape(-1))
-    _, lam = jax.lax.fori_loop(0, n_iterations, body,
-                               (v, jnp.zeros((), v.dtype)))
-    return lam
+    def run():
+        v = v0 / jnp.linalg.norm(v0.reshape(-1))
+        _, lam = jax.lax.fori_loop(0, n_iterations, body,
+                                   (v, jnp.zeros((), v.dtype)))
+        return lam
+
+    if no_pallas:
+        with pallas_grid.disabled():
+            return run()
+    return run()
 
 
 def power_estimate(matrix, precond, v0: jnp.ndarray,
-                   n_iterations: int = 20) -> float:
+                   n_iterations: int = 20, no_pallas: bool = False) -> float:
     """deal.II internal::power_iteration: returns <v,(PA)v> after n its.
     matrix/precond are pytree modules with .vmult (arrays travel as jit
-    arguments, keeping the compiled payload small)."""
-    return float(_power_jit(matrix, precond, v0, n_iterations))
+    arguments, keeping the compiled payload small).  no_pallas traces the
+    XLA fallback of any pallas-enabled module (host-side estimates)."""
+    return float(_power_jit(matrix, precond, v0, n_iterations, no_pallas))
 
 
 @dataclass
@@ -82,7 +91,11 @@ def estimate_eigenvalues(matrix, precond, shape_blocks, mask, dtype,
     v0 = initial_guess(shape_blocks, mask, dtype)
     if device is not None:
         v0 = jax.device_put(v0, device)
-    est = power_estimate(matrix, precond, v0, n_iterations)
+    # host-executed estimates (device=None under a TPU default backend)
+    # trace the XLA fallback -- interpret-mode pallas kernels would
+    # dominate the sweeps
+    no_pallas = device is None and jax.default_backend() != "cpu"
+    est = power_estimate(matrix, precond, v0, n_iterations, no_pallas)
     return EigInfo(min_eigenvalue=est, max_eigenvalue=safety_factor * est)
 
 

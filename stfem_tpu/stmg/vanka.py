@@ -325,6 +325,7 @@ class PreconditionVanka:
             sep = separable_eigenbasis(K_op, M_op)
         self.Wdn = self.Wup = None
         self.GinvT = self.cvecT = self.TTg = None
+        self.pallas_grid = False
         if sep is not None and _os.environ.get(
                 "STFEM_GRID_VANKA", "1") != "0":
             # GRID apply mode (TPU-first): fold take-gather, the valence
@@ -361,12 +362,27 @@ class PreconditionVanka:
                 Wdn.append(jnp.asarray(dn, sdt))
                 Wup.append(jnp.asarray(up, sdt))
             self.Wdn, self.Wup = Wdn, Wup
-            # lam in flat interleaved (c1,a1,c2,a2,...) order
+            # fused per-block Pallas chains when the per-block working set
+            # fits VMEM (TPU; interpret-mode on CPU only when forced) --
+            # their down output is in REVERSED axis order, so the
+            # per-position factors are built in the matching order
+            from ..ops.pallas_grid import factor_perm, fits_vmem
+            pg_default = "0"  # measured slower than the XLA grid path
+            self.pallas_grid = (
+                _os.environ.get("STFEM_PALLAS_GRID", pg_default) == "1"
+                and self.dim in (2, 3)
+                and int(np.prod(K_op.dof_shape)) >= int(_os.environ.get(
+                    "STFEM_PALLAS_MIN_DOFS", "16384"))
+                and fits_vmem(K_op.dof_shape, Wdn, dtype))
             lam_grid = lam_np.reshape(tuple(int(c) for c in cells)
                                       + (k + 1,) * self.dim)
-            perm = []
-            for d in range(self.dim):
-                perm += [d, self.dim + d]
+            if self.pallas_grid:
+                perm = factor_perm(self.dim)
+            else:
+                # flat interleaved (c1,a1,c2,a2,...) order
+                perm = []
+                for d in range(self.dim):
+                    perm += [d, self.dim + d]
             lam_il = jnp.asarray(
                 np.transpose(lam_grid, perm).reshape(-1), fdt)
             if self.n_steps > 1:
@@ -508,10 +524,21 @@ class PreconditionVanka:
         """Grid apply: per-axis banded matmuls (gather+valence+V fused),
         flat-layout per-position time solve, transposed matmuls scatter."""
         from ..ops.gridsumfac import axis_apply
+        from ..ops.pallas_grid import chain_down_order, is_disabled
         nb = src.shape[0]
         w = src.astype(self.dtype)
-        for d in range(self.dim):
-            w = axis_apply(self.Wdn[d], w, 1 + d)
+        use_pallas = self.pallas_grid and not is_disabled()
+        bypass = self.pallas_grid and not use_pallas
+        if use_pallas:
+            from ..ops.pallas_grid import chain_down
+            w = chain_down(w, self.Wdn)
+        else:
+            for d in range(self.dim):
+                w = axis_apply(self.Wdn[d], w, 1 + d)
+            if bypass:
+                # factors were built in the pallas chain order; match it
+                dord = chain_down_order(self.dim)
+                w = jnp.transpose(w, (0,) + tuple(1 + d for d in dord))
         gshape = w.shape[1:]
         N = int(np.prod(gshape))
         if self.n_steps > 1:
@@ -547,6 +574,16 @@ class PreconditionVanka:
         # keep bf16 temporaries (the f32 time-solve factors promote the
         # middle; the cast confines that to the small solve stage)
         w = w.astype(self.dtype)
+        if use_pallas:
+            from ..ops.pallas_grid import chain_up
+            return chain_up(w, self.Wup)
+        if bypass:
+            dord = chain_down_order(self.dim)
+            inv = [0] * self.dim
+            for i, d in enumerate(dord):
+                inv[d] = i
+            w = jnp.transpose(w, (0,) + tuple(1 + inv[d]
+                                              for d in range(self.dim)))
         for d in range(self.dim):
             w = axis_apply(self.Wup[d], w, 1 + d)
         return w.astype(self.dtype)

@@ -158,3 +158,55 @@ def test_grid_sumfac_parity(dim, cells, coeff, nonuni, monkeypatch):
     sg, sr = m_grid.vmult_slice(x[0]), m_ref.vmult_slice(x[0])
     np.testing.assert_allclose(np.asarray(sg), np.asarray(sr),
                                rtol=1e-12, atol=1e-13, err_msg="slice")
+
+
+def test_pallas_grid_matvec_parity(monkeypatch):
+    """Fused per-block Pallas chains (ops/pallas_grid.py, interpret mode on
+    CPU) must agree with the XLA grid path: uniform, non-uniform tensor
+    steps, and a separable coefficient; a NON-separable coefficient must
+    fall back to the XLA grid path."""
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+    from stfem_tpu.types import TimeStepType
+
+    monkeypatch.setenv("STFEM_PALLAS_GRID", "1")
+    monkeypatch.setenv("STFEM_PALLAS_MIN_DOFS", "1")
+    rng = np.random.default_rng(0)
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, 2)
+    cases = []
+    mesh_u = StructuredMesh([3, 3, 3], [0.0] * 3, [1.0] * 3)
+    cases.append((mesh_u, None))
+    mesh_n = StructuredMesh(
+        [3, 4], [0.0] * 2, [1.0] * 2,
+        axis_steps=[np.sort(rng.uniform(0.5, 1.5, c)) for c in (3, 4)])
+    cases.append((mesh_n, None))
+    cases.append((StructuredMesh([4, 4], [0.0] * 2, [1.0] * 2),
+                  lambda p: 1.0 + 0.5 * np.sin(3 * p[..., 0])))
+    for mesh, cf in cases:
+        k = 3
+        K = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0,
+                                dtype=jnp.float64, coefficient=cf)
+        M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0,
+                                dtype=jnp.float64, coefficient=cf)
+        mp = SystemMatrix(K, M, A, B, precision=None)
+        assert mp._grid is not None and mp._grid.pallas
+        monkeypatch.setenv("STFEM_PALLAS_GRID", "0")
+        mx = SystemMatrix(K, M, A, B, precision=None)
+        monkeypatch.setenv("STFEM_PALLAS_GRID", "1")
+        x = jnp.asarray(
+            rng.standard_normal((A.shape[0],) + tuple(K.dof_shape)))
+        for fp, fx in [(mp.vmult, mx.vmult), (mp.Tvmult, mx.Tvmult)]:
+            np.testing.assert_allclose(np.asarray(fp(x)), np.asarray(fx(x)),
+                                       rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(mp.vmult_slice(x[0])),
+                                   np.asarray(mx.vmult_slice(x[0])),
+                                   rtol=1e-11, atol=1e-13)
+    # non-separable coefficient -> XLA fallback
+    mesh = StructuredMesh([4, 4], [0.0] * 2, [1.0] * 2)
+    cf2 = lambda p: 1.0 + 0.5 * np.sin(3 * (p[..., 0] + p[..., 1]))
+    K = LaplaceMassOperator(mesh, 3, 4, 0.0, 1.0, dtype=jnp.float64,
+                            coefficient=cf2)
+    M = LaplaceMassOperator(mesh, 3, 4, 1.0, 0.0, dtype=jnp.float64,
+                            coefficient=cf2)
+    mc = SystemMatrix(K, M, A, B, precision=None)
+    assert mc._grid is not None and not mc._grid.pallas

@@ -178,3 +178,35 @@ def test_direct_coarse_solver():
         assert bool(res.converged)
         iters[ctype] = int(res.iterations)
     assert abs(iters["Direct"] - iters["GMRES"]) <= 1
+
+
+def test_pallas_grid_vanka_parity(monkeypatch):
+    """Pallas grid Vanka (fused per-block chains, reversed-order factors)
+    must agree with the XLA grid apply to machine precision."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.stmg.vanka import PreconditionVanka
+    from stfem_tpu.time.tables import get_fe_time_weights
+
+    monkeypatch.setenv("STFEM_PALLAS_GRID", "1")
+    monkeypatch.setenv("STFEM_PALLAS_MIN_DOFS", "1")
+    rng = np.random.default_rng(1)
+    for dim, cells, k, ns in [(2, (4, 4), 3, 1), (3, (3, 3, 3), 4, 4)]:
+        mesh = StructuredMesh(list(cells), [0.0] * dim, [1.0] * dim)
+        K = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0)
+        M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0)
+        A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, ns)
+        vp = PreconditionVanka(K, M, A, B, n_steps=ns)
+        assert vp.pallas_grid
+        monkeypatch.setenv("STFEM_PALLAS_GRID", "0")
+        vx = PreconditionVanka(K, M, A, B, n_steps=ns)
+        monkeypatch.setenv("STFEM_PALLAS_GRID", "1")
+        assert not vx.pallas_grid
+        x = jnp.asarray(rng.standard_normal(
+            (A.shape[0],) + tuple(K.dof_shape))) * K.mask
+        np.testing.assert_allclose(np.asarray(vp.vmult(x)),
+                                   np.asarray(vx.vmult(x)),
+                                   rtol=1e-9, atol=1e-12)
