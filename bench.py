@@ -4,33 +4,34 @@ with temporal blocking (n_timesteps_at_once=32 timesteps per slab system --
 the method's own scaling axis, and the TPU-natural one: every spatial sweep
 batches 96 time blocks, amortizing the sequential V-cycle launch chain).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is sustained space-time DoF/s per chip for full slab solves (slab-system
-Givens-estimate rel. residual 1e-8; the info line also reports the TRUE
-relative residual, which sits at the f32 attainable floor ~kappa*eps ~ 4e-6
--- outer-path matmuls run at true-f32 precision, see SystemMatrix) and
+Default config (round 2): 16^3 cells (274,625 space DoFs, 26.4M space-time
+DoFs per slab), 10 timed slab solves (~27 s of solve), TRUE rel. residual
+<= 1e-8 per slab via iterative refinement (f32 FGMRES solve + stepwise
+emulated-f64 residual + f32 correction solve; verified in f64 untimed).
+STFEM_BENCH_IR=0 gives the f32-only mode (Givens 1e-8, true ~kappa*eps:
+4e-6 at 8^3 / 1.5e-5 at 16^3) for A/B against the round-1 numbers, which
+were f32-only at 8^3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value is sustained space-time DoF/s per chip for full slab solves and
 vs_baseline compares against the reference's >1e9 DoF/s cluster figure
 (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
 
-On-chip measured scaling (8^3 cells, Q4 x dG(2)):
-ntao 1 -> 0.9 MDoF/s, 4 -> 2.25, 8 -> 4.36, 16 -> 5.11, 32 -> 8.17,
-64 -> 5.31 (past the sweet spot; setup also balloons) -- pre-optimization
-numbers; after the Vanka unroll + direct coarse + smoothing calibration
-the 8^3 ntao=32 headline is 15.6 MDoF/s (14 iters, V(1,1) with 2-sweep
-relaxation, identity levels skipped; A/B matrix in STATUS.md).
+Round-2 measured ladder (this chip): 8^3 f32 41.0 MDoF/s at 8 avg iters
+(round 1: 23.8 at 14 iters, true residual only 4e-6); 8^3 true-1e-8 17.6;
+16^3 f32 23.7 at 9 avg iters (round 1: 3.66 at 29 iters); 16^3 true-1e-8
+~9.7.  Iteration counts are h-FLAT (8 -> 9 over 8^3 -> 16^3).
 
-Env knobs: STFEM_BENCH_CELLS (cells per axis, default 8), STFEM_BENCH_SLABS
-(timed slab solves, default 2), STFEM_BENCH_NTAO (timesteps per slab,
-default 32), STFEM_BENCH_STEPS (MG smoothing steps, default 1),
-STFEM_BENCH_INNER (relaxation sweeps per smoother application, default 2),
-STFEM_BENCH_SKIPID (skip Identity levels, default 1), STFEM_BENCH_COARSE
-(Direct|GMRES|Smoother, default Direct),
-STFEM_BENCH_BF16 (bf16 Vanka storage, default 1).
-NOTE: the earlier 16^3 + ntao>=4 bf16 NaN is FIXED by the scan-based
-fastdiag Vanka (per-step factors stay f32; only the eigenbasis V is bf16):
-measured on-chip 16^3 ntao=32 bf16 converges at 22 avg iters,
-1.46 MDoF/s (solve 36 s; the iteration count doubles vs 8^3 -- smoothing
-calibration at scale is the open item, not stability).
+Env knobs: STFEM_BENCH_CELLS (cells per axis, default 16),
+STFEM_BENCH_SLABS (timed slab solves, default 10), STFEM_BENCH_NTAO
+(timesteps per slab, default 32), STFEM_BENCH_STEPS (MG smoothing steps,
+default 1), STFEM_BENCH_INNER (relaxation sweeps per smoother application,
+default 2), STFEM_BENCH_SKIPID (skip Identity levels, default 1),
+STFEM_BENCH_COARSE (Direct|GMRES|Smoother, default Direct),
+STFEM_BENCH_BF16 (bf16 Vanka storage, default 1), STFEM_BENCH_LEVEL_BF16
+(bf16 V-cycle levels, default 1), STFEM_BENCH_EIG_PROXY (proxy-mesh
+eigenvalue estimates, default 4), STFEM_BENCH_IR / _IR_RTOL / _IR_PASSES
+(iterative refinement; rtol default scales with the f32 floor).
 """
 from __future__ import annotations
 
@@ -74,8 +75,8 @@ def main():
     ir_maxiter = int(os.environ.get("STFEM_BENCH_IR_MAXITER", "10"))
     if use_ir:
         jax.config.update("jax_enable_x64", True)
-    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "8"))
-    n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "2"))
+    cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "16"))
+    n_slabs = int(os.environ.get("STFEM_BENCH_SLABS", "10"))
     smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "1"))
     fe_degree = 2              # dG(2) in time
     space_degree = 4           # Q4 in space
@@ -162,7 +163,17 @@ def main():
                                       0.0, 1.0, dtype=jnp.float64)
             M64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
                                       1.0, 0.0, dtype=jnp.float64)
-            matrix64 = SystemMatrix(K64, M64, Alpha, Beta)
+            # STEPWISE f64 residual: the slab tables are block-bidiagonal,
+            # so A x is evaluated per step (nt blocks at a time) in a scan
+            # -- the whole-slab f64 apply materializes multi-GB emulated-f64
+            # quadrature temporaries at 16^3 (ResourceExhausted)
+            struct64 = SystemMatrix._detect_step_structure(
+                np.asarray(Alpha), np.asarray(Beta))
+            assert struct64 is not None, "IR needs the step structure"
+            nt64, A0_, A1_, B0_, B1_ = struct64
+            m64_step = SystemMatrix(K64, M64, A0_, B0_)
+            m64_coup = SystemMatrix(K64, M64, A1_, B1_)
+            matrix64 = (m64_step, m64_coup)
             rhs_matrix64 = SystemMatrix(K64, M64, np.zeros_like(Gamma),
                                         Gamma)
             force64 = ForceAssembler(mesh, space_degree, space_degree + 1,
@@ -208,73 +219,110 @@ def main():
                      reorthogonalize=reorth, basis_dtype=vbf16)
         return res.x, res.iterations, res.residual, res.converged
 
-    ir_rtol = float(os.environ.get("STFEM_BENCH_IR_RTOL", "2e-3"))
-
-    def solve_slab_ir(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_,
-                      prev_x, t, fslab64):
-        """f32 solve + iterative refinement: f64 residual of the f64
-        discretization (force part precomputed host-side), f32 re-solve of
-        the unit-scaled correction.  prev_x carries slab-to-slab history in
-        f64 (reference outer precision); the post-march verification pass
-        recomputes the final residuals in f64."""
-        prev64 = prev_x.astype(jnp.float64)
-        x32, iters, resid, conv = solve_slab(matrix_, rhs_matrix_, gmg_,
-                                             force_,
-                                             prev_x.astype(jnp.float32), t)
-        rhs64 = r64_.vmult(prev64[None]) + fslab64
-        x = x32.astype(jnp.float64)
-        total = iters
-        for _ in range(ir_passes):
-            r = rhs64 - m64_.vmult(x)
-            rnorm = jnp.linalg.norm(r.reshape(-1))
-            # unit-scale the correction solve (r ~ 1e-6 * rhs would
-            # underflow f32 Givens machinery otherwise)
-            r32 = (r / rnorm).astype(jnp.float32)
-            res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
-                         precondition=gmg_.vmult, maxiter=ir_maxiter,
-                         abstol=1e-30, reltol=ir_rtol,
-                         reorthogonalize=reorth, basis_dtype=vbf16)
-            x = x + rnorm * res.x.astype(jnp.float64)
-            total = total + res.iterations
-        return x, total, resid, conv
+    # one IR pass must bridge the f32 true-residual floor (~kappa * eps,
+    # growing with refinement) down to 1e-8: the correction tolerance
+    # scales accordingly (measured: 2e-3 suffices at 8^3, 16^3 needs 3e-4)
+    default_rtol = "2e-3" if cells_per_axis <= 8 else "3e-4"
+    ir_rtol = float(os.environ.get("STFEM_BENCH_IR_RTOL", default_rtol))
 
     from functools import partial
 
     @partial(jax.jit, static_argnums=(9,))
-    def march(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64slabs,
-              prev_x, t0_, n):
+    def march_f32(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64slabs,
+                  prev_x, t0_, n):
         # the whole time loop lives on-device: ONE dispatch for n slabs
-        def step(carry, fs):
+        def step(carry, _):
             prev, t = carry
-            if use_ir:
-                x, iters, resid, conv = solve_slab_ir(
-                    matrix_, rhs_matrix_, gmg_, force_, m64_, r64_,
-                    prev, t, fs)
-                out = x
-            else:
-                x, iters, resid, conv = solve_slab(
-                    matrix_, rhs_matrix_, gmg_, force_, prev, t)
-                out = x
-            return (out[-1], t + np.float32(tau * n_at_once)), \
-                (out if use_ir else iters, iters, resid, conv)
-        xs_in = f64slabs if use_ir else jnp.arange(n)
+            x, iters, resid, conv = solve_slab(
+                matrix_, rhs_matrix_, gmg_, force_, prev, t)
+            return (x[-1], t + np.float32(tau * n_at_once)), \
+                (iters, iters, resid, conv)
         (last, _), (xs, iters, resid, conv) = jax.lax.scan(
-            step, (prev_x, t0_), xs_in)
+            step, (prev_x, t0_), jnp.arange(n))
         return last, xs, iters, resid, conv
 
-    @jax.jit
-    def verify_ir(m64_, r64_, f64slabs, xs, prev0):
-        """Untimed per-slab TRUE f64 relative residuals of the marched
-        solutions (verification, not part of the solve)."""
-        prevs = jnp.concatenate([prev0[None], xs[:-1, -1]], axis=0)
+    # the IR march is a HOST loop over per-slab jitted stages: any single
+    # program mixing the f32 FGMRES basis machinery with emulated-f64
+    # matvecs reproducibly crashes the TPU compiler at 16^3, so the f64
+    # residual and the f32 solves compile as SEPARATE executables.
+    # Dispatches are async -- the host loop costs enqueue latency only.
+    jit_solve = jax.jit(solve_slab)
 
-        def one(args):
-            x, prev, fs = args
-            rhs64 = r64_.vmult(prev[None]) + fs
-            r = rhs64 - m64_.vmult(x)
-            return (jnp.linalg.norm(r.reshape(-1))
-                    / jnp.linalg.norm(rhs64.reshape(-1)))
-        return jax.lax.map(one, (xs, prevs, f64slabs))
+    def _resid_stepwise(m64_, rhs64, x):
+        m_step, m_coup = m64_
+        sshape = (n_at_once, n_blocks // n_at_once) + x.shape[1:]
+        xs = x.reshape(sshape)
+        xp = jnp.concatenate([jnp.zeros_like(xs[:1]), xs[:-1]], axis=0)
+        rh = rhs64.reshape(sshape)
+
+        def body(carry, inp):
+            xsi, xpi, rhi = inp
+            return carry, rhi - m_step.vmult(xsi) - m_coup.vmult(xpi)
+
+        _, rs = jax.lax.scan(body, None, (xs, xp, rh))
+        r = rs.reshape(x.shape)
+        return r, jnp.linalg.norm(r.reshape(-1))
+
+    @jax.jit
+    def jit_resid64(m64_, r64_, prev64, x, fslab64):
+        rhs64 = r64_.vmult(prev64[None]) + fslab64
+        return _resid_stepwise(m64_, rhs64, x)
+
+    @jax.jit
+    def jit_correct(matrix_, gmg_, r, rnorm):
+        r32 = (r / rnorm).astype(jnp.float32)
+        res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
+                     precondition=gmg_.vmult, maxiter=ir_maxiter,
+                     abstol=1e-30, reltol=ir_rtol,
+                     reorthogonalize=reorth, basis_dtype=vbf16)
+        return res.x, res.iterations
+
+    @jax.jit
+    def jit_update(x, rnorm, corr):
+        return x + rnorm * corr.astype(jnp.float64)
+
+    def march(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64slabs,
+              prev_x, t0_, n):
+        if not use_ir:
+            return march_f32(matrix_, rhs_matrix_, gmg_, force_, m64_,
+                             r64_, f64slabs, prev_x, t0_, n)
+        # per-slab timing + IMMEDIATE untimed f64 verification: keeping
+        # all f64 slab solutions on-device for a post-march verify pass
+        # exceeds HBM at 16^3 x 10 slabs (each solution is 211 MB f64)
+        its, rss, cvs, rels, times = [], [], [], [], []
+        prev, t = prev_x, np.float32(t0_)
+        for i in range(n):
+            t0 = time.time()
+            x32, it, rs, cv = jit_solve(matrix_, rhs_matrix_, gmg_, force_,
+                                        prev.astype(jnp.float32), t)
+            x = x32.astype(jnp.float64)
+            prev64 = prev.astype(jnp.float64)
+            for _ in range(ir_passes):
+                r, rnorm = jit_resid64(m64_, r64_, prev64, x, f64slabs[i])
+                corr, extra = jit_correct(matrix_, gmg_, r, rnorm)
+                x = jit_update(x, rnorm, corr)
+                it = it + extra
+            _ = float(x[-1, 0, 0, 0])      # force completion
+            times.append(time.time() - t0)
+            # blocking float() drains the verify BEFORE the next slab's
+            # timed window opens (it must not leak into the next timing)
+            rels.append(float(jit_verify_slab(m64_, r64_, prev64, x,
+                                              f64slabs[i])))
+            its.append(it)
+            rss.append(rs)
+            cvs.append(cv)
+            prev = x[-1]
+            t = np.float32(t + tau * n_at_once)
+        return (prev, (np.array(times), np.array(rels)), jnp.stack(its),
+                jnp.stack(rss), jnp.stack(cvs))
+
+    @jax.jit
+    def jit_verify_slab(m64_, r64_, prev64, x, fslab64):
+        """Untimed TRUE f64 relative residual of one slab solution."""
+        rhs64 = r64_.vmult(prev64[None]) + fslab64
+        r, _ = _resid_stepwise(m64_, rhs64, x)
+        return (jnp.linalg.norm(r.reshape(-1))
+                / jnp.linalg.norm(rhs64.reshape(-1)))
 
     with jax.default_device(cpu):
         coords = jnp.asarray(mesh.dof_coordinates(space_degree), dtype)
@@ -323,7 +371,13 @@ def main():
                                          matrix64, rhs_matrix64, f64slabs,
                                          prev, np.float32(0.0), n_slabs)
     _ = float(jnp.sum(last))
-    elapsed = max(time.time() - t0 - readback, 1e-9)
+    if use_ir:
+        # per-slab timings (each forced a completion readback; subtract
+        # the measured readback latency per slab; verification excluded)
+        slab_times, _rels = xs
+        elapsed = max(float(np.sum(slab_times)) - n_slabs * readback, 1e-9)
+    else:
+        elapsed = max(time.time() - t0 - readback, 1e-9)
 
     # honest accuracy check (outside the timing): TRUE relative residual of
     # one slab solve, not just the Givens estimate.  f32 outer Krylov
@@ -339,9 +393,8 @@ def main():
                 / jnp.linalg.norm(rhs.reshape(-1)))
 
     if use_ir:
-        # untimed f64 verification of EVERY marched slab solution
-        true_rels = np.asarray(verify_ir(matrix64, rhs_matrix64, f64slabs,
-                                         xs, prev))
+        # per-slab f64 verification computed during the march (untimed)
+        true_rels = np.asarray(xs[1])
         true_rel = float(true_rels.max())
         conv_ir = bool(np.all(true_rels <= 1e-8))
     else:
