@@ -1,0 +1,114 @@
+"""1D-assembled Kronecker-sum operator apply for tensor-product geometry.
+
+On an axis-aligned tensor mesh without coefficient or cell mask the global
+assembled operators factorize exactly (the geometry Jacobian is diagonal and
+jxw separates per axis):
+
+    M_glob = M_1 (x) M_2 (x) ... (x) M_dim
+    K_glob = sum_e  M_1 (x) ... (x) A_e (x) ... (x) M_dim
+
+with tiny 1D assembled mass/stiffness matrices M_d, A_d (dense (nd_d, nd_d),
+bandwidth 2k+1) built from the SAME 1D quadrature rule as the volume
+operator -- so the apply is bit-for-bit the assembled operator, including
+the reference's under-integration quirk.
+
+One (Kx, Mx) pair costs 3*dim-1 DOF-sized per-axis matmuls instead of the
+quadrature-grid sum-factorization sweep's ~(dim^2 + 3 dim) QUAD-sized ones
+(plus the weight multiplies): at Q4/16^3 that is ~7x less HBM traffic, the
+binding resource on TPU.  Under emulated f64 (TPU software double-double)
+this is also the form with the FEWEST non-matmul ops, which is what wins
+there (see system.py routing notes).
+
+The 1D factors are UNCONSTRAINED (no Dirichlet zeroing): constraint masking
+stays external (y = mask * A (mask * x)), which keeps the strong-Dirichlet
+lift path (mask_input=False) exact as well.
+
+Replaces the quadrature loop of the reference's MatrixFreeOperator
+(include/operators.h:967-1187) for the separable-geometry case; coefficient
+fields, cell masks, and mapped meshes keep the grid / cell-local paths.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.module import register_module
+
+__all__ = ["KronAssembled"]
+
+
+def _assemble_1d_dense(op1) -> np.ndarray:
+    """Dense (nd, nd) assembled matrix of a 1D LaplaceMassOperator."""
+    E = np.asarray(op1.element_matrices(), np.float64)   # (nc, k+1, k+1)
+    k = op1.degree
+    nc = E.shape[0]
+    nd = nc * k + 1
+    A = np.zeros((nd, nd))
+    for c in range(nc):
+        A[c * k:c * k + k + 1, c * k:c * k + k + 1] += E[c]
+    return A
+
+
+@register_module
+class KronAssembled:
+    """Per-axis assembled factors + the shared-prefix pair apply."""
+
+    @staticmethod
+    def supports(K_op, M_op) -> bool:
+        """True when the geometry separates: diagonal Jacobian, no
+        coefficient field, no cell mask, no vertex perturbation."""
+        mesh = K_op.mesh
+        return (K_op.jinv is None and K_op.coeff is None
+                and M_op.coeff is None
+                and getattr(mesh, "cell_mask", None) is None
+                and getattr(mesh, "_vertices", None) is None)
+
+    def __init__(self, K_op, M_op, dtype):
+        assert self.supports(K_op, M_op)
+        from ..mesh.grid import StructuredMesh
+        from .spatial import LaplaceMassOperator
+
+        mesh = K_op.mesh
+        k, dim, n_q = K_op.degree, K_op.dim, K_op.n_q
+        self.dim = dim
+        self.M1, self.A1 = [], []
+        for d in range(dim):
+            verts = mesh.axis_vertices(d)
+            steps = np.diff(verts)
+            if np.allclose(steps, steps[0]):
+                mesh1 = StructuredMesh([int(mesh.cells[d])],
+                                       [float(verts[0])],
+                                       [float(verts[-1])], refinement=0)
+            else:
+                mesh1 = StructuredMesh([len(steps)], [float(verts[0])],
+                                       None, refinement=0,
+                                       axis_steps=[steps])
+            nd = int(mesh.cells[d]) * k + 1
+            free = np.ones(nd)
+            M1op = LaplaceMassOperator(mesh1, k, n_q, 1.0, 0.0,
+                                       dtype=jnp.float64, mask=free)
+            A1op = LaplaceMassOperator(mesh1, k, n_q, 0.0, 1.0,
+                                       dtype=jnp.float64, mask=free)
+            self.M1.append(jnp.asarray(_assemble_1d_dense(M1op), dtype))
+            self.A1.append(jnp.asarray(_assemble_1d_dense(A1op), dtype))
+
+    def pair(self, x, need_K: bool = True, need_M: bool = True):
+        """x: [..., *dofshape] -> (K_glob x, M_glob x); either result may be
+        None when not requested.  The two share the mass-chain prefix:
+        3*dim-1 matmuls for both, dim for mass alone."""
+        from .gridsumfac import axis_apply
+
+        dim = self.dim
+        lead = x.ndim - dim
+        val = x
+        ks = None
+        for d in range(dim):
+            ax = lead + d
+            if need_K:
+                ks = (axis_apply(self.A1[d], val, ax) if ks is None
+                      else axis_apply(self.M1[d], ks, ax)
+                      + axis_apply(self.A1[d], val, ax))
+            last_val_needed = need_M or (need_K and d < dim - 1)
+            if last_val_needed:
+                val = axis_apply(self.M1[d], val, ax)
+        return (ks if need_K else None), (val if need_M else None)

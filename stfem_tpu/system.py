@@ -89,24 +89,33 @@ class SystemMatrix:
 
         # Diagonal-geometry middles, fastest first (mapped meshes use the
         # cell-local XLA path):
-        #  1. gather-free grid sum-factorization (ops/gridsumfac.py):
+        #  1. Kronecker-assembled 1D factors (ops/kronfac.py): 3*dim-1
+        #     DOF-sized per-axis matmuls, no quadrature grid at all --
+        #     ~7x less HBM traffic than (2) at Q4/16^3, and the fewest
+        #     non-matmul ops, which also makes it the emulated-f64 winner
+        #  2. gather-free grid sum-factorization (ops/gridsumfac.py):
         #     per-axis global banded matmuls, no cell gather/scatter
-        #  2. full-cell-basis quad middle (STFEM_GRID_SUMFAC=0 fallback)
-        # Emulated f64 (TPU software double-double) takes the FULL-BASIS
-        # middle: measured 8^3 ntao=32 f64 matvec 127 ms full-basis vs
-        # 956 ms cell-local vs 1100 ms grid (scripts/matvec_probe.py) --
-        # emulated f64 elementwise ops are so expensive that the form with
-        # the fewest non-matmul ops wins, not the one with fewest MACs.
-        self._grid = None
+        #     (needed when a coefficient field or cell mask breaks the
+        #     Kronecker separability)
+        #  3. full-cell-basis quad middle (STFEM_GRID_SUMFAC=0 fallback)
+        # Emulated f64 (TPU software double-double) historically took the
+        # full-basis middle (127 ms vs 956 cell-local vs 1100 grid at 8^3,
+        # scripts/matvec_probe.py) -- the Kronecker path beats all three.
+        self._kron = None
         f64_emulated = (np.dtype(self.dtype) == np.float64
                         and jax.default_backend() != "cpu")
-        if (K_op.jinv is None and not f64_emulated
+        if (os.environ.get("STFEM_KRON_MATVEC", "1") != "0"):
+            from .ops.kronfac import KronAssembled
+            if KronAssembled.supports(K_op, M_op):
+                self._kron = KronAssembled(K_op, M_op, self.dtype)
+        self._grid = None
+        if (K_op.jinv is None and self._kron is None and not f64_emulated
                 and os.environ.get("STFEM_GRID_SUMFAC") != "0"):
             from .ops.gridsumfac import GridSumFac
             self._grid = GridSumFac(K_op, M_op, self.dtype)
         self._phig = None
         self._w = None
-        if (self._grid is None and K_op.jinv is None
+        if (self._grid is None and self._kron is None and K_op.jinv is None
                 and os.environ.get("STFEM_NO_PALLAS") != "1"):
             dim, k = K_op.dim, K_op.degree
             cells = K_op.cells
@@ -232,6 +241,40 @@ class SystemMatrix:
         S, D = K.S, K.D
         mix_a = lambda v: self._mix("alpha", transpose, v)
         mix_b = lambda v: self._mix("beta", transpose, v)
+
+        if self._kron is not None:
+            xin = x * K.mask if mask_input else x
+            cKK, cKM = K.laplace_scaling, K.mass_scaling
+            cMK, cMM = M.laplace_scaling, M.mass_scaling
+            need_K = ((not alpha_zero and cKK != 0.0)
+                      or (not beta_zero and cMK != 0.0))
+            need_M = ((not alpha_zero and cKM != 0.0)
+                      or (not beta_zero and cMM != 0.0))
+            Kx, Mx = self._kron.pair(xin, need_K, need_M)
+
+            def _comb(cK_, cM_):
+                t = None
+                if cK_ != 0.0:
+                    t = Kx if cK_ == 1.0 else cK_ * Kx
+                if cM_ != 0.0:
+                    tm = Mx if cM_ == 1.0 else cM_ * Mx
+                    t = tm if t is None else t + tm
+                return t
+
+            y = None
+            if not alpha_zero:
+                t = _comb(cKK, cKM)
+                if t is not None:
+                    y = mix_a(t)
+            if not beta_zero:
+                t = _comb(cMK, cMM)
+                if t is not None:
+                    tb = mix_b(t)
+                    y = tb if y is None else y + tb
+            if y is None:
+                return jnp.zeros((self.n_blocks,) + tuple(self.dof_shape),
+                                 self.dtype)
+            return y * K.mask
 
         if self._grid is not None:
             xin = x * K.mask if mask_input else x

@@ -144,6 +144,7 @@ def test_grid_sumfac_parity(dim, cells, coeff, nonuni, monkeypatch):
     M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0, dtype=jnp.float64,
                             coefficient=cf)
     A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, 2)
+    monkeypatch.setenv("STFEM_KRON_MATVEC", "0")  # force the grid path
     m_grid = SystemMatrix(K, M, A, B, precision=None)
     monkeypatch.setenv("STFEM_GRID_SUMFAC", "0")
     m_ref = SystemMatrix(K, M, A, B, precision=None)
@@ -160,6 +161,61 @@ def test_grid_sumfac_parity(dim, cells, coeff, nonuni, monkeypatch):
                                rtol=1e-12, atol=1e-13, err_msg="slice")
 
 
+@pytest.mark.parametrize("dim,cells,nonuni", [
+    (1, (5,), False),
+    (2, (3, 4), True),
+    (3, (3, 3, 3), False),
+])
+def test_kron_matvec_parity(dim, cells, nonuni, monkeypatch):
+    """1D-assembled Kronecker apply (ops/kronfac.py) must agree with the
+    cell-local path to machine precision on separable geometry (uniform and
+    non-uniform tensor steps), and must NOT engage when a coefficient field
+    breaks separability."""
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+    from stfem_tpu.types import TimeStepType
+
+    rng = np.random.default_rng(3)
+    if nonuni:
+        mesh = StructuredMesh(
+            list(cells), [0.0] * dim, [1.0] * dim,
+            axis_steps=[np.sort(rng.uniform(0.5, 1.5, c)) for c in cells])
+    else:
+        mesh = StructuredMesh(list(cells), [0.0] * dim, [1.0] * dim)
+    k = 3
+    K = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0, dtype=jnp.float64)
+    M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0, dtype=jnp.float64)
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, 2)
+    m_kron = SystemMatrix(K, M, A, B, precision=None)
+    assert m_kron._kron is not None
+    monkeypatch.setenv("STFEM_KRON_MATVEC", "0")
+    monkeypatch.setenv("STFEM_GRID_SUMFAC", "0")
+    m_ref = SystemMatrix(K, M, A, B, precision=None)
+    monkeypatch.delenv("STFEM_KRON_MATVEC")
+    monkeypatch.delenv("STFEM_GRID_SUMFAC")
+    assert m_ref._kron is None and m_ref._grid is None
+    x = jnp.asarray(rng.standard_normal((A.shape[0],) + tuple(K.dof_shape)))
+    for name, fg, fr in [("vmult", m_kron.vmult, m_ref.vmult),
+                         ("Tvmult", m_kron.Tvmult, m_ref.Tvmult)]:
+        np.testing.assert_allclose(np.asarray(fg(x)), np.asarray(fr(x)),
+                                   rtol=1e-12, atol=1e-13, err_msg=name)
+    sg, sr = m_kron.vmult_slice(x[0]), m_ref.vmult_slice(x[0])
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(sr),
+                               rtol=1e-12, atol=1e-13, err_msg="slice")
+    # masked-input (strong-Dirichlet lift) path
+    np.testing.assert_allclose(
+        np.asarray(m_kron.vmult(x, mask_input=False)),
+        np.asarray(m_ref.vmult(x, mask_input=False)),
+        rtol=1e-12, atol=1e-13, err_msg="lift")
+    # a coefficient field must disable the Kronecker route
+    cf = lambda p: 1.0 + 0.5 * np.sin(3 * p[..., 0])  # noqa: E731
+    Kc = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0, dtype=jnp.float64,
+                             coefficient=cf)
+    Mc = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0, dtype=jnp.float64,
+                             coefficient=cf)
+    assert SystemMatrix(Kc, Mc, A, B, precision=None)._kron is None
+
+
 def test_pallas_grid_matvec_parity(monkeypatch):
     """Fused per-block Pallas chains (ops/pallas_grid.py, interpret mode on
     CPU) must agree with the XLA grid path: uniform, non-uniform tensor
@@ -171,6 +227,7 @@ def test_pallas_grid_matvec_parity(monkeypatch):
 
     monkeypatch.setenv("STFEM_PALLAS_GRID", "1")
     monkeypatch.setenv("STFEM_PALLAS_MIN_DOFS", "1")
+    monkeypatch.setenv("STFEM_KRON_MATVEC", "0")  # force the grid path
     rng = np.random.default_rng(0)
     A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, 2)
     cases = []

@@ -210,3 +210,53 @@ def test_pallas_grid_vanka_parity(monkeypatch):
         np.testing.assert_allclose(np.asarray(vp.vmult(x)),
                                    np.asarray(vx.vmult(x)),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_pallas_timesolve_kernel_parity():
+    """The fused Pallas time-solve kernel (ops/pallas_timesolve.py,
+    interpret mode on CPU) must reproduce the sequential block-bidiagonal
+    recurrence exactly, and the grid Vanka must pick a lane tile on
+    128-divisible eigen grids."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.pallas_timesolve import pick_tile, time_solve_pallas
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.stmg.vanka import PreconditionVanka
+    from stfem_tpu.time.tables import get_fe_time_weights
+
+    S, nt, N = 4, 3, 1024
+    TN = pick_tile(N, S, nt, 4)
+    assert TN is not None and N % TN == 0 and TN % 128 == 0
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((S * nt, N)).astype(np.float32)
+    GinvT = (0.3 * rng.standard_normal((nt, nt, N))).astype(np.float32)
+    cvecT = rng.uniform(-0.9, 0.9, (nt, N)).astype(np.float32)
+
+    # sequential reference recurrence
+    ws = w.reshape(S, nt, N)
+    y = np.einsum("ijn,sjn->sin", GinvT, ws)
+    out_ref = np.empty_like(y)
+    prev = np.zeros(N, np.float32)
+    for s in range(S):
+        out_ref[s] = y[s] + prev[None] * cvecT
+        prev = y[s, nt - 1] + cvecT[nt - 1] * prev
+    out = time_solve_pallas(jnp.asarray(w), jnp.asarray(GinvT),
+                            jnp.asarray(cvecT), S, nt, TN, jnp.float32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), out_ref.reshape(S * nt, N),
+                               rtol=1e-5, atol=1e-5)
+
+    # integration: a grid Vanka whose eigen grid is 128-divisible picks a
+    # tile; on CPU platform_dependent lowers the XLA branch (parity with
+    # the scan path is covered by test_vanka_fastdiag_scan_equals_dense)
+    mesh = StructuredMesh([8, 8], [0.0, 0.0], [1.0, 1.0])
+    K = LaplaceMassOperator(mesh, 3, 4, 0.0, 1.0, dtype=jnp.float32)
+    M = LaplaceMassOperator(mesh, 3, 4, 1.0, 0.0, dtype=jnp.float32)
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 2, 0.125, 4)
+    v = PreconditionVanka(K, M, A, B, n_steps=4)
+    assert v._ts_tile is not None
+    x = jnp.asarray(rng.standard_normal(
+        (A.shape[0],) + tuple(K.dof_shape))) * K.mask
+    assert np.isfinite(np.asarray(v.vmult(x))).all()
