@@ -109,6 +109,7 @@ def main():
             TimeStepType.DG, fe_degree, tau, n_at_once)
         matrix = SystemMatrix(K, M, Alpha, Beta)
         rhs_matrix = SystemMatrix(K, M, np.zeros_like(Gamma), Gamma)
+        print(f"# setup/ops {time.time() - t0:.1f}s", flush=True)
         # tuned solver knobs (A/B matrix in STATUS.md): V(1,1) with 2-sweep
         # relaxation, Identity levels skipped, direct dense coarse solve
         from stfem_tpu.types import SupportedSmoothers
@@ -135,6 +136,11 @@ def main():
                                           coarse_grid_smoother_type=coarse_type,
                                           vanka_bf16=vanka_bf16,
                                           smoother_inner_iterations=inner,
+                                          post_smoother_inner_iterations=(
+                                              int(os.environ[
+                                                  "STFEM_BENCH_POST_INNER"])
+                                              if "STFEM_BENCH_POST_INNER"
+                                              in os.environ else None),
                                           skip_identity_levels=skip_id,
                                           level_bf16=os.environ.get(
                                               "STFEM_BENCH_LEVEL_BF16",
@@ -148,6 +154,7 @@ def main():
                          # dispatch each) -- on the 1-core host they were
                          # ~80% of the 16^3 setup time
                          eig_device=tpu_dev)
+        print(f"# setup/hierarchy {time.time() - t0:.1f}s", flush=True)
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)
@@ -204,7 +211,14 @@ def main():
     default_maxiter = 18 if cells_per_axis <= 8 else 24
     bench_maxiter = int(os.environ.get("STFEM_BENCH_MAXITER",
                                        str(default_maxiter)))
-    reorth = os.environ.get("STFEM_BENCH_REORTH", "1") == "1"
+    # "1" = CGS2 (two passes), "selective" = DGKS-criterion second pass,
+    # "0" = CGS1.  Measured: "selective" is identical to CGS2 here -- the
+    # preconditioned Arnoldi vectors lose most of their mass to the
+    # projection every iteration (that IS fast convergence), so the DGKS
+    # criterion always fires; keep plain CGS2 as the default
+    _reorth_env = os.environ.get("STFEM_BENCH_REORTH", "1")
+    reorth = (_reorth_env if _reorth_env in ("selective", "gram")
+              else _reorth_env == "1")
     vbf16 = jnp.bfloat16 if os.environ.get(
         "STFEM_BENCH_VBF16", "0") == "1" else None
 

@@ -37,7 +37,7 @@ def main():
     from stfem_tpu.types import TimeStepType
 
     cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "8"))
-    smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "2"))
+    smoothing_steps = int(os.environ.get("STFEM_BENCH_STEPS", "1"))
     n_at_once = int(os.environ.get("STFEM_BENCH_NTAO", "32"))
     vanka_bf16 = os.environ.get("STFEM_BENCH_BF16", "1") == "1"
     reps = int(os.environ.get("STFEM_PROBE_REPS", "50"))
@@ -57,22 +57,22 @@ def main():
         Alpha, Beta, _, _ = get_fe_time_weights(
             TimeStepType.DG, fe_degree, tau, n_at_once)
         matrix = SystemMatrix(K, M, Alpha, Beta)
-        inner_env = os.environ.get("STFEM_BENCH_INNER", "")
+        inner_env = os.environ.get("STFEM_BENCH_INNER", "2")
         gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
                          n_at_once, tau, dtype=dtype, fe_degree_min=1,
                          params=GMGParams(smoothing_steps=smoothing_steps,
                                           variable=False,
                                           coarse_grid_smoother_type=os.environ.get(
-                                              "STFEM_BENCH_COARSE", "GMRES"),
+                                              "STFEM_BENCH_COARSE", "Direct"),
                                           vanka_bf16=vanka_bf16,
                                           smoother_inner_iterations=(
                                               int(inner_env) if inner_env
                                               else None),
                                           skip_identity_levels=os.environ.get(
-                                              "STFEM_BENCH_SKIPID", "0") == "1",
+                                              "STFEM_BENCH_SKIPID", "1") == "1",
                                           level_bf16=os.environ.get(
                                               "STFEM_BENCH_LEVEL_BF16",
-                                              "0") == "1"))
+                                              "1") == "1"))
     n_blocks = Alpha.shape[0]
     shape = (n_blocks,) + mesh.dof_shape(space_degree)
     tpu = jax.devices()[0]

@@ -14,6 +14,7 @@ V-cycle), compiled into the same program.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -39,7 +40,7 @@ def _norm(a):
 def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
            precondition: Callable | None = None, maxiter: int = 100,
            abstol: float = 1e-12, reltol: float = 1e-12,
-           reorthogonalize: bool = True,
+           reorthogonalize: bool | str = True,
            basis_dtype=None) -> FGMRESResult:
     """Flexible GMRES without restarting (basis size == maxiter; the
     reference uses basis 100 with <=200 iterations but its configured solves
@@ -48,7 +49,18 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     reorthogonalize=False drops the second Gram-Schmidt pass: halves the
     basis HBM traffic per iteration (the dominant outer-solver cost once
     the V-cycle is fast); fine whenever the preconditioner keeps the
-    iteration count well below the basis size.
+    iteration count well below the basis size.  "selective" applies the
+    DGKS criterion: the second pass runs (lax.cond, so it only executes
+    when taken) iff pass one cancelled most of w's mass
+    (||w_after|| < eta ||w_before||, eta = 1/sqrt(2)) -- the standard
+    robust middle ground, and the measured common case skips it.
+
+    NOTE a recursive-Gram low-synch CGS2 ("one sweep + m x m correction")
+    was implemented and REJECTED by measurement: the recursion predicts
+    V w2 from pre-rounding algebra, so it cannot see the rounding-level
+    orthogonality defects that reorthogonalization exists to fix -- at
+    kappa 1e10 it stalls exactly like single-pass CGS while true CGS2
+    converges (measured on diag(logspace(0,10)) rotated + noise).
 
     basis_dtype (e.g. jnp.bfloat16) stores the ORTHONORMAL basis V at
     reduced precision (Gram-Schmidt arithmetic stays f32 through type
@@ -69,7 +81,9 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     # rows padded to a multiple of the Gram-Schmidt chunk so the chunked
     # dynamic slices never clamp (a clamped slice would re-read -- and
     # re-project -- the tail rows)
-    _CH = 8
+    # chunk 8 measured best: 4 halves the early-prefix reads but the extra
+    # dynamic-slice loop trips cost more (noprec/iter 28.7 -> 34.9 at 16^3)
+    _CH = int(os.environ.get("STFEM_GS_CHUNK", "8"))
     m_pad = ((m + 1 + _CH - 1) // _CH) * _CH
     V = jnp.zeros((m_pad, n), vdtype)
     Z = jnp.zeros((m, n), dtype)
@@ -78,16 +92,23 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     sn = jnp.zeros(m, dtype)
     g = jnp.zeros(m + 1, dtype)
     g = g.at[0].set(beta)
-    V = V.at[0].set(jnp.where(beta > 0, (r0 / jnp.where(beta == 0, 1, beta)
-                                         ).reshape(-1), 0))
-
+    # the new basis row rides the carry as `vnext` and is inserted at the
+    # START of the next iteration, BEFORE any read of V: a read-then-write
+    # of the carried basis forces XLA to copy the whole (m_pad, n) buffer
+    # every iteration (measured 3.5 ms/iter at 16^3, ~40% of the
+    # GS-and-glue cost); write-before-read updates stay in place, and the
+    # pending row doubles as the V[j] read
+    vnext = jnp.where(beta > 0,
+                      (r0 / jnp.where(beta == 0, 1, beta)).reshape(-1), 0)
     def cond(state):
-        j, V, Z, H, cs, sn, g, res = state
+        j, V, Z, H, cs, sn, g, res, vnext = state
         return (j < m) & (res > tol)
 
     def body(state):
-        j, V, Z, H, cs, sn, g, res = state
-        v = V[j].astype(dtype).reshape(shape)
+        j, V, Z, H, cs, sn, g, res, vnext = state
+        V = jax.lax.dynamic_update_slice_in_dim(
+            V, vnext.astype(vdtype)[None], j, 0)
+        v = vnext.astype(dtype).reshape(shape)
         z = precondition(v)
         w = A(z).reshape(-1)
         Z = Z.at[j].set(z.reshape(-1))
@@ -102,32 +123,48 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         CH = _CH
         n_active = j // CH + 1
 
-        def gs_pass(w):
+        def gs_dots(w):
             def hc_body(c, h):
                 blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
                 return jax.lax.dynamic_update_slice_in_dim(
                     h, blk @ w, c * CH, 0)
-            h = jax.lax.fori_loop(0, n_active, hc_body,
-                                  jnp.zeros(V.shape[0], dtype))
+            return jax.lax.fori_loop(0, n_active, hc_body,
+                                     jnp.zeros(V.shape[0], dtype))
 
+        def gs_proj(w, h):
             def proj_body(c, wv):
                 blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
                 hc = jax.lax.dynamic_slice_in_dim(h, c * CH, CH, 0)
                 return wv - blk.T @ hc
-            w = jax.lax.fori_loop(0, n_active, proj_body, w)
-            return h[: m + 1], w
+            return jax.lax.fori_loop(0, n_active, proj_body, w)
+
+        def gs_pass(w):
+            h = gs_dots(w)
+            return h, gs_proj(w, h)
 
         with jax.default_matmul_precision("highest"):
-            h1, w = gs_pass(w)
-            if reorthogonalize:
+            if reorthogonalize == "selective":
+                wnorm_pre = jnp.linalg.norm(w)
+                h1, w = gs_pass(w)
+                need = jnp.linalg.norm(w) < 0.7071 * wnorm_pre
+                hf, w = jax.lax.cond(
+                    need,
+                    lambda hw: ((lambda h2w: (hw[0] + h2w[0], h2w[1]))
+                                (gs_pass(hw[1]))),
+                    lambda hw: hw, (h1, w))
+                h = hf[: m + 1]
+                wnorm = jnp.linalg.norm(w)
+            elif reorthogonalize:
+                h1, w = gs_pass(w)
                 h2, w = gs_pass(w)
-                h = h1 + h2
+                h = (h1 + h2)[: m + 1]
+                wnorm = jnp.linalg.norm(w)
             else:
-                h = h1
-        wnorm = jnp.linalg.norm(w)
+                h1, w = gs_pass(w)
+                h = h1[: m + 1]
+                wnorm = jnp.linalg.norm(w)
         h = h.at[j + 1].add(wnorm)
-        V = V.at[j + 1].set(jnp.where(wnorm > 0, w / jnp.where(
-            wnorm == 0, 1, wnorm), 0))
+        vnext = jnp.where(wnorm > 0, w / jnp.where(wnorm == 0, 1, wnorm), 0)
 
         # apply the existing Givens rotations to the new column
         def rot_body(i, hcol):
@@ -156,10 +193,10 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         g = g.at[j].set(c_new * g_j)
         g = g.at[j + 1].set(-s_new * g_j)
         res = jnp.abs(g[j + 1])
-        return j + 1, V, Z, H, cs, sn, g, res
+        return j + 1, V, Z, H, cs, sn, g, res, vnext
 
-    state = (jnp.asarray(0, jnp.int32), V, Z, H, cs, sn, g, beta)
-    j, V, Z, H, cs, sn, g, res = jax.lax.while_loop(cond, body, state)
+    state = (jnp.asarray(0, jnp.int32), V, Z, H, cs, sn, g, beta, vnext)
+    j, V, Z, H, cs, sn, g, res, _ = jax.lax.while_loop(cond, body, state)
 
     # solve the (padded) triangular system: unused rows get identity
     mask = jnp.arange(m) < j

@@ -81,6 +81,11 @@ class GMGParams:
     # (reference smoothing DEGREE); None = same as smoothing_steps (the
     # historical wiring, which applies steps twice: degree x MG steps)
     smoother_inner_iterations: int | None = None
+    # asymmetric cycle: inner relaxation sweeps for the POST-smoother only
+    # (None = same as smoother_inner_iterations).  A perf knob, not a
+    # reference behavior: post_inner=1 drops one (vanka + level matvec)
+    # per level visit; worthwhile when the iteration count holds
+    post_smoother_inner_iterations: int | None = None
     # Run the WHOLE V-cycle in bfloat16 (level operators, Vanka down/up
     # matmuls, transfers): halves the HBM traffic of the grid-sumfac
     # temporaries, which bound the fine-level cost.  The Vanka time-solve
@@ -192,8 +197,14 @@ class GMG:
         if self.params.skip_identity_levels and \
                 isinstance(lvl.smoother, IdentitySmoother):
             return u
+        pi = self.params.post_smoother_inner_iterations
         for _ in range(self._steps2(level)):
-            u = u + lvl.smoother.vmult(rhs - lvl.matrix.vmult(u))
+            r = rhs - lvl.matrix.vmult(u)
+            if pi is not None and isinstance(lvl.smoother,
+                                             RelaxationSmoother):
+                u = u + lvl.smoother.vmult(r, n_iterations=pi)
+            else:
+                u = u + lvl.smoother.vmult(r)
         return u
 
     def _coarse_solve(self, defect):

@@ -133,9 +133,11 @@ class RelaxationSmoother:
         self.omega = omega
         self.n_iterations = n_iterations
 
-    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+    def vmult(self, b: jnp.ndarray,
+              n_iterations: int | None = None) -> jnp.ndarray:
+        n = self.n_iterations if n_iterations is None else n_iterations
         x = self.omega * self.precond.vmult(b)
-        for _ in range(self.n_iterations - 1):
+        for _ in range(n - 1):
             x = x + self.omega * self.precond.vmult(b - self.matrix.vmult(x))
         return x
 
