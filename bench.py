@@ -57,11 +57,17 @@ def main():
     from stfem_tpu.types import TimeStepType
 
     # persistent compile cache (helps repeated bench runs when the backend
-    # honors it; harmless otherwise)
+    # honors it; harmless otherwise).  The repo-local default survives
+    # across driver runs; threshold 0.5 s so the ~10 per-level setup
+    # compiles (1-3 s each -- the BULK of the 8^3 setup time) are cached
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/stfem_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+                          os.environ.get("STFEM_JAX_CACHE_DIR",
+                                         os.path.join(
+                                             os.path.dirname(
+                                                 os.path.abspath(__file__)),
+                                             ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
     # true-1e-8 mode (default ON): after the f32 FGMRES solve, run

@@ -49,6 +49,11 @@ def pick_tile(N: int, S: int, nt: int, itemsize: int) -> int | None:
     for r in range(1, min(rows_total, _MAX_TN // 128) + 1):
         if rows_total % r:
             continue
+        # Mosaic requires the second-minor block dim divisible by 8 unless
+        # it equals the full array dim (lowering check); 25-row tiles at
+        # 8^3 (N = 40^3) fail without this
+        if r % 8 and r != rows_total:
+            continue
         tn = 128 * r
         # in + out slabs (item dtype) + f32 working copy + nt f32 y rows
         # + factors

@@ -250,6 +250,87 @@ class GMG:
     __call__ = vmult
 
 
+def _eig_cache_path():
+    import os
+    p = os.environ.get("STFEM_EIG_CACHE")
+    if p == "0":
+        return None
+    if p:
+        return p
+    import pathlib
+    return str(pathlib.Path(__file__).resolve().parents[2]
+               / ".jax_cache" / "eig_cache.json")
+
+
+def _cached_estimate(m_est, v_est, est_shape, est_mask, est_dtype,
+                     n_iterations, safety_factor, device=None):
+    """estimate_eigenvalues with a repo-local disk memo.
+
+    The power iteration is deterministic (fixed start vector), so the
+    estimate is a pure function of the operator/smoother inputs; caching it
+    across processes removes the per-level estimate compiles+sweeps that
+    dominate warm-start setup (measured ~0.2-3.4 s per level at 8^3).
+    Only clean separable levels (uniform mesh, no coefficient, no vertex
+    map) are cached -- exactly the ones the proxy path produces."""
+    from .smoother import EigInfo
+
+    K = getattr(m_est, "K", None)
+    mesh = getattr(K, "mesh", None)
+    path = _eig_cache_path()
+    cacheable = (
+        path is not None and K is not None and mesh is not None
+        and getattr(K, "coeff", None) is None
+        and getattr(mesh, "_vertices", None) is None
+        and getattr(mesh, "cell_mask", None) is None
+        and getattr(mesh, "distort", 0.0) == 0.0)
+    if not cacheable:
+        return estimate_eigenvalues(m_est, v_est, est_shape, est_mask,
+                                    est_dtype, n_iterations, safety_factor,
+                                    device=device)
+    import hashlib
+    import json
+    import os
+    verts = [np.asarray(mesh.axis_vertices(d)).tobytes()
+             for d in range(K.dim)]
+    hsh = hashlib.sha256()
+    for b in verts:
+        hsh.update(b)
+    hsh.update(np.asarray(m_est.Alpha, np.float64).tobytes())
+    hsh.update(np.asarray(m_est.Beta, np.float64).tobytes())
+    hsh.update(repr((K.degree, K.n_q, float(K.laplace_scaling),
+                     float(K.mass_scaling), tuple(est_shape),
+                     str(np.dtype(est_dtype)), str(np.dtype(m_est.dtype)),
+                     int(n_iterations), float(safety_factor),
+                     int(getattr(v_est, "n_steps", 1)),
+                     str(getattr(v_est, "dtype", "")),
+                     )).encode())
+    key = hsh.hexdigest()
+    cache = {}
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    if key in cache:
+        mn, mx = cache[key]
+        return EigInfo(min_eigenvalue=mn, max_eigenvalue=mx)
+    info = estimate_eigenvalues(m_est, v_est, est_shape, est_mask,
+                                est_dtype, n_iterations, safety_factor,
+                                device=device)
+    if np.isfinite(info.max_eigenvalue) and info.max_eigenvalue > 0:
+        cache[key] = [float(info.min_eigenvalue),
+                      float(info.max_eigenvalue)]
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    return info
+
+
 def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                type_: TimeStepType, n_timesteps_at_once: int,
                time_step: float, problem: ProblemType = ProblemType.heat,
@@ -337,6 +418,10 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
 
     levels = []
     ops_cache = {}
+    import os as _os_v
+    import time as _time_v
+    _verbose = _os_v.environ.get("STFEM_SETUP_VERBOSE") == "1"
+    _t_lvl = _time_v.time()
     for l in range(n_levels):
         mesh_l = meshes[mesh_idx[l]]
         deg_l = poly_space[spd_idx[l]]
@@ -364,6 +449,9 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                 K, M, Alpha_l, Beta_l, dtype=dtype,
                 storage_dtype=jnp.bfloat16 if params.vanka_bf16 else None,
                 n_steps=n_at_once[l])
+            if _verbose:
+                print(f"#   lvl {l} vanka: {_time_v.time() - _t_lvl:.2f}s",
+                      flush=True)
             if params.relaxation == 0.0 or \
                     precond_seq[l] == SupportedSmoothers.Chebyshev:
                 if np.sum(K.mask_np) == 0:
@@ -425,17 +513,19 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     # the estimate runs on an f32 probe (the bf16 level ops
                     # promote, so temps stay f32 inside the estimate)
                     est_dtype = (jnp.float32 if params.level_bf16 else dtype)
-                    info = estimate_eigenvalues(
-                        m_est, v_est,
-                        est_shape, est_mask,
-                        est_dtype,
+                    info = _cached_estimate(
+                        m_est, v_est, est_shape, est_mask, est_dtype,
                         params.smoothing_eig_cg_n_iterations,
-                        params.eig_safety_factor, device=(
-                            eig_device if n_sp >= eig_device_min_dofs
-                            else None))
+                        params.eig_safety_factor,
+                        device=(eig_device if n_sp >= eig_device_min_dofs
+                                else None))
                     if not np.isfinite(info.max_eigenvalue) or \
                             info.max_eigenvalue <= 0:
                         info = None
+                    if _verbose:
+                        print(f"#   lvl {l} eig (proxy={p > 0}, "
+                              f"n_sp={n_sp}): "
+                              f"{_time_v.time() - _t_lvl:.2f}s", flush=True)
             if precond_seq[l] == SupportedSmoothers.Relaxation:
                 if params.relaxation != 0.0:
                     omega = params.relaxation
@@ -461,6 +551,14 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                 lvl.smoother = ChebyshevSmoother(matrix, vanka, theta, delta,
                                                  inner)
         levels.append(lvl)
+        if _verbose:
+            print(f"# build_stmg lvl {l} ("
+                  f"{mg_type_level[l - 1] if l else ''} "
+                  f"blocks={lvl.n_blocks} "
+                  f"dofs={int(np.prod(lvl.dof_shape))} "
+                  f"sm={type(lvl.smoother).__name__}): "
+                  f"{_time_v.time() - _t_lvl:.2f}s", flush=True)
+            _t_lvl = _time_v.time()
 
     transfers = []
     for l in range(1, n_levels):

@@ -260,3 +260,20 @@ def test_pallas_timesolve_kernel_parity():
     x = jnp.asarray(rng.standard_normal(
         (A.shape[0],) + tuple(K.dof_shape))) * K.mask
     assert np.isfinite(np.asarray(v.vmult(x))).all()
+
+
+def test_pallas_timesolve_tile_legality():
+    """pick_tile must only return Mosaic-legal tiles: lane dim 128, row
+    count divisible by 8 (or the full array), dividing N; N = 40^3 (the
+    8^3 bench eigen grid) has no legal tile and must return None."""
+    from stfem_tpu.ops.pallas_timesolve import pick_tile
+
+    for N in (80 ** 3, 40 ** 3, 160 ** 3, 1024, 999):
+        t = pick_tile(N, 32, 3, 2)
+        if t is None:
+            continue
+        rows = t // 128
+        assert t % 128 == 0 and N % t == 0
+        assert rows % 8 == 0 or rows == N // 128
+    assert pick_tile(40 ** 3, 32, 3, 2) is None
+    assert pick_tile(999, 32, 3, 2) is None
