@@ -160,14 +160,17 @@ def _chain(x, mats, body, out_dims, out_dtype):
     nb = x.shape[0]
     in_dims = x.shape[1:]
     acc = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
+    # i32 index-map constants: Python 0 weak-types to i64 under
+    # jax_enable_x64 and Mosaic rejects mixed i64/i32 index tuples
+    z = np.int32(0)
     specs = [pl.BlockSpec((1,) + tuple(in_dims),
-                          lambda b: (b,) + (0,) * dim,
+                          lambda b: (b,) + (z,) * dim,
                           memory_space=pltpu.VMEM)]
     for m in mats:
-        specs.append(pl.BlockSpec(m.shape, lambda b: (0, 0),
+        specs.append(pl.BlockSpec(m.shape, lambda b: (z, z),
                                   memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1,) + tuple(out_dims),
-                            lambda b: (b,) + (0,) * dim,
+                            lambda b: (b,) + (z,) * dim,
                             memory_space=pltpu.VMEM)
 
     def run(interp):

@@ -33,6 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# i32 index-map constant (Python 0 weak-types to i64 under jax_enable_x64;
+# Mosaic rejects mixed i64/i32 index tuples at lowering)
+_Z = np.int32(0)
+
 try:  # pallas is TPU/Mosaic; keep importable on any backend
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -124,17 +128,17 @@ def fused_quad_middle(u, PhiG, W, Alpha, Beta, n_q_pts: int,
         out_shape=jax.ShapeDtypeStruct((T_dst, C, A), u.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T_dst, cell_chunk, A), lambda i: (0, i, 0),
+            pl.BlockSpec((T_dst, cell_chunk, A), lambda i: (_Z, i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_dst, cell_chunk, A), lambda i: (0, i, 0),
+            pl.BlockSpec((T_dst, cell_chunk, A), lambda i: (_Z, i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, nq_all), lambda i: (0, 0),
+            pl.BlockSpec((A, nq_all), lambda i: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq_all, A), lambda i: (0, 0),
+            pl.BlockSpec((nq_all, A), lambda i: (_Z, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cell_chunk, nq_all), lambda i: (i, 0),
+            pl.BlockSpec((cell_chunk, nq_all), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_dst, cell_chunk, A), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((T_dst, cell_chunk, A), lambda i: (_Z, i, _Z),
                                memory_space=pltpu.VMEM),
     )(ub, ua, PhiG, jnp.transpose(PhiG), W)

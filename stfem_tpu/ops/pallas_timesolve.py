@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -89,19 +90,23 @@ def time_solve_pallas(w: jnp.ndarray, GinvT: jnp.ndarray, cvecT: jnp.ndarray,
     wf = w.reshape(S * nt, N // 128, 128)
     gf = GinvT.reshape(nt, nt, N // 128, 128)
     cf = cvecT.reshape(nt, N // 128, 128)
+    # index-map constants must be i32: under jax_enable_x64 a Python 0
+    # weak-types to i64 while the program id stays i32, and Mosaic rejects
+    # the mixed-type index tuple at lowering (failed to legalize func.return)
+    z = np.int32(0)
     out = pl.pallas_call(
         partial(_kernel, S, nt, out_dtype),
         grid=(N // TN,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((S * nt, rows, 128), lambda b: (0, b, 0),
+            pl.BlockSpec((S * nt, rows, 128), lambda b: (z, b, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, nt, rows, 128), lambda b: (0, 0, b, 0),
+            pl.BlockSpec((nt, nt, rows, 128), lambda b: (z, z, b, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, rows, 128), lambda b: (0, b, 0),
+            pl.BlockSpec((nt, rows, 128), lambda b: (z, b, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S * nt, rows, 128), lambda b: (0, b, 0),
+        out_specs=pl.BlockSpec((S * nt, rows, 128), lambda b: (z, b, z),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S * nt, N // 128, 128), out_dtype),
     )(wf, gf, cf)
