@@ -37,6 +37,33 @@ from ..utils.module import register_module
 __all__ = ["KronAssembled"]
 
 
+def _to_diags(A: np.ndarray, k: int) -> np.ndarray:
+    """(2k+1, nd) diagonal storage: D[o, i] = A[i, i+o-k] (0 off-range)."""
+    nd = A.shape[0]
+    D = np.zeros((2 * k + 1, nd))
+    for o in range(-k, k + 1):
+        lo, hi = max(0, -o), min(nd, nd - o)
+        D[o + k, lo:hi] = A[np.arange(lo, hi), np.arange(lo, hi) + o]
+    return D
+
+
+def _banded_axis_apply(D, x, axis, k: int):
+    """y_i = sum_o D[o, i] * x_{i+o-k} along `axis` via static pad+slice."""
+    nd = D.shape[1]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (k, k)
+    xp = jnp.pad(x, pad)
+    dshape = [1] * x.ndim
+    dshape[axis] = nd
+    out = None
+    for o in range(2 * k + 1):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(o, o + nd)
+        term = D[o].reshape(dshape) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
 def _assemble_1d_dense(op1) -> np.ndarray:
     """Dense (nd, nd) assembled matrix of a 1D LaplaceMassOperator."""
     E = np.asarray(op1.element_matrices(), np.float64)   # (nc, k+1, k+1)
@@ -71,7 +98,10 @@ class KronAssembled:
         mesh = K_op.mesh
         k, dim, n_q = K_op.degree, K_op.dim, K_op.n_q
         self.dim = dim
+        self.k = k
+        self._f64 = np.dtype(dtype) == np.float64
         self.M1, self.A1 = [], []
+        self.Md, self.Ad = [], []
         for d in range(dim):
             verts = mesh.axis_vertices(d)
             steps = np.diff(verts)
@@ -89,26 +119,66 @@ class KronAssembled:
                                        dtype=jnp.float64, mask=free)
             A1op = LaplaceMassOperator(mesh1, k, n_q, 0.0, 1.0,
                                        dtype=jnp.float64, mask=free)
-            self.M1.append(jnp.asarray(_assemble_1d_dense(M1op), dtype))
-            self.A1.append(jnp.asarray(_assemble_1d_dense(A1op), dtype))
+            M1np = _assemble_1d_dense(M1op)
+            A1np = _assemble_1d_dense(A1op)
+            self.M1.append(jnp.asarray(M1np, dtype))
+            self.A1.append(jnp.asarray(A1np, dtype))
+            if self._f64:
+                # diagonal (banded) form for the emulated-f64 TPU apply:
+                # a dense 1D contraction in software double-double pays
+                # ~(nd/(2k+1))x more VPU ops than 2k+1 shifted elementwise
+                # FMAs (measured 4.4x at Q4/16^3, scripts/banded64_lab.py)
+                self.Md.append(jnp.asarray(_to_diags(M1np, k), dtype))
+                self.Ad.append(jnp.asarray(_to_diags(A1np, k), dtype))
 
-    def pair(self, x, need_K: bool = True, need_M: bool = True):
-        """x: [..., *dofshape] -> (K_glob x, M_glob x); either result may be
-        None when not requested.  The two share the mass-chain prefix:
-        3*dim-1 matmuls for both, dim for mass alone."""
+    def _pair_impl(self, x, need_K: bool, need_M: bool, banded: bool):
         from .gridsumfac import axis_apply
 
         dim = self.dim
         lead = x.ndim - dim
+        if banded:
+            apM = [lambda v, ax, d=d: _banded_axis_apply(
+                self.Md[d], v, ax, self.k) for d in range(dim)]
+            apA = [lambda v, ax, d=d: _banded_axis_apply(
+                self.Ad[d], v, ax, self.k) for d in range(dim)]
+        else:
+            apM = [lambda v, ax, d=d: axis_apply(self.M1[d], v, ax)
+                   for d in range(dim)]
+            apA = [lambda v, ax, d=d: axis_apply(self.A1[d], v, ax)
+                   for d in range(dim)]
         val = x
         ks = None
         for d in range(dim):
             ax = lead + d
             if need_K:
-                ks = (axis_apply(self.A1[d], val, ax) if ks is None
-                      else axis_apply(self.M1[d], ks, ax)
-                      + axis_apply(self.A1[d], val, ax))
+                ks = (apA[d](val, ax) if ks is None
+                      else apM[d](ks, ax) + apA[d](val, ax))
             last_val_needed = need_M or (need_K and d < dim - 1)
             if last_val_needed:
-                val = axis_apply(self.M1[d], val, ax)
+                val = apM[d](val, ax)
         return (ks if need_K else None), (val if need_M else None)
+
+    def pair(self, x, need_K: bool = True, need_M: bool = True):
+        """x: [..., *dofshape] -> (K_glob x, M_glob x); either result may be
+        None when not requested.  The two share the mass-chain prefix:
+        3*dim-1 matmuls for both, dim for mass alone.
+
+        Under emulated f64 the TPU lowering uses the banded diagonal form
+        (4.4x measured, scripts/banded64_lab.py); CPU (native f64) and all
+        hardware dtypes keep the dense MXU matmuls."""
+        import jax
+
+        if not self._f64:
+            return self._pair_impl(x, need_K, need_M, banded=False)
+
+        def _tpu(x_):
+            kk, mm = self._pair_impl(x_, need_K, need_M, banded=True)
+            return [t for t in (kk, mm) if t is not None]
+
+        def _default(x_):
+            kk, mm = self._pair_impl(x_, need_K, need_M, banded=False)
+            return [t for t in (kk, mm) if t is not None]
+
+        out = jax.lax.platform_dependent(x, tpu=_tpu, default=_default)
+        it = iter(out)
+        return (next(it) if need_K else None), (next(it) if need_M else None)

@@ -87,6 +87,23 @@ class SystemMatrix:
                     K_op, M_op, A_np[nz], B_np[nz],
                     precision="highest" if precision is not None else None)
 
+        # Zero INPUT columns (step-coupling blocks: the DG jump reads only
+        # the previous step's LAST time-dof, CGP only its last trial dof —
+        # A1/B1 have one nonzero column of nt): slice the input blocks
+        # before the spatial pair instead of sweeping blocks that cannot
+        # contribute.  This is the column analogue of the reference's
+        # alpha_is_zero/beta_is_zero entry shortcut (operators.h:585-611),
+        # and it matters most for the emulated-f64 stepwise residual.
+        self._col_reduced = None
+        self._col_nz = None
+        if A_np.ndim == 2 and A_np.shape[1] > 1:
+            colnz = np.where((np.abs(A_np) + np.abs(B_np)).sum(0) != 0.0)[0]
+            if 0 < len(colnz) <= A_np.shape[1] // 2:
+                self._col_nz = tuple(int(i) for i in colnz)
+                self._col_reduced = SystemMatrix(
+                    K_op, M_op, A_np[:, colnz], B_np[:, colnz],
+                    precision=precision)
+
         # Diagonal-geometry middles, fastest first (mapped meshes use the
         # cell-local XLA path):
         #  1. Kronecker-assembled 1D factors (ops/kronfac.py): 3*dim-1
@@ -334,6 +351,11 @@ class SystemMatrix:
         if (self._slice_reduced is not None and x.shape[0] == 1
                 and mask_input):
             return self.vmult_slice(x[0])
+        if (self._col_reduced is not None
+                and x.shape[0] == self.Alpha.shape[1]):
+            # static-index slice (no gather): _col_nz is a Python tuple
+            xs = jnp.stack([x[i] for i in self._col_nz])
+            return self._col_reduced.vmult(xs, mask_input)
         return self._fused_apply(x, False,
                                  self.alpha_is_zero, self.beta_is_zero,
                                  mask_input)

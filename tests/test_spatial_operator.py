@@ -216,6 +216,75 @@ def test_kron_matvec_parity(dim, cells, nonuni, monkeypatch):
     assert SystemMatrix(Kc, Mc, A, B, precision=None)._kron is None
 
 
+def test_kron_banded_f64_parity():
+    """The banded diagonal form of the emulated-f64 Kronecker apply (the
+    TPU branch of KronAssembled.pair; 4.4x fewer software-double-double
+    ops, scripts/banded64_lab.py) must equal the dense 1D matmuls to
+    machine precision, for uniform and non-uniform tensor steps."""
+    from stfem_tpu.ops.kronfac import KronAssembled
+
+    rng = np.random.default_rng(7)
+    for nonuni in (False, True):
+        if nonuni:
+            mesh = StructuredMesh(
+                [3, 4], [0.0, 0.0], [1.0, 1.0],
+                axis_steps=[np.sort(rng.uniform(0.5, 1.5, c))
+                            for c in (3, 4)])
+        else:
+            mesh = StructuredMesh([4, 4, 4], [0.0] * 3, [1.0] * 3)
+        k = 4
+        K = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0,
+                                dtype=jnp.float64)
+        M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0,
+                                dtype=jnp.float64)
+        kr = KronAssembled(K, M, jnp.float64)
+        assert kr._f64 and len(kr.Md) == mesh.dim
+        x = jnp.asarray(rng.standard_normal(
+            (2,) + tuple(mesh.dof_shape(k))))
+        kd, md = kr._pair_impl(x, True, True, banded=False)
+        kb, mb = kr._pair_impl(x, True, True, banded=True)
+        np.testing.assert_allclose(np.asarray(kb), np.asarray(kd),
+                                   rtol=1e-13, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(mb), np.asarray(md),
+                                   rtol=1e-13, atol=1e-14)
+        # hardware dtypes must not build the diagonal form
+        kr32 = KronAssembled(
+            LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0,
+                                dtype=jnp.float32),
+            LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0,
+                                dtype=jnp.float32), jnp.float32)
+        assert not kr32._f64 and kr32.Md == []
+
+
+def test_system_matrix_zero_column_reduction():
+    """Step-coupling blocks read only the previous step's last time-dof
+    (DG jump / CGP trial value); SystemMatrix must slice those input
+    columns away (col reduction) and still match the unreduced apply."""
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+    from stfem_tpu.types import TimeStepType
+
+    mesh = StructuredMesh([4, 4], [0.0, 0.0], [1.0, 1.0])
+    k = 3
+    K = LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0, dtype=jnp.float64)
+    M = LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    for ts in (TimeStepType.DG, TimeStepType.CGP):
+        A, B, _, _ = get_fe_time_weights(ts, 2, 1 / 16, 4)
+        nt, A0, A1, B0, B1 = SystemMatrix._detect_step_structure(
+            np.asarray(A), np.asarray(B))
+        mc = SystemMatrix(K, M, A1, B1, precision=None)
+        assert mc._col_reduced is not None
+        x = jnp.asarray(rng.standard_normal((nt,) + tuple(K.dof_shape)))
+        y_fast = mc.vmult(x)
+        y_ref = mc._fused_apply(x, False, mc.alpha_is_zero,
+                                mc.beta_is_zero, True)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   rtol=1e-13, atol=1e-14)
+        # the square slab system has no zero columns -- must not trigger
+        assert SystemMatrix(K, M, A, B, precision=None)._col_reduced is None
+
+
 def test_pallas_grid_matvec_parity(monkeypatch):
     """Fused per-block Pallas chains (ops/pallas_grid.py, interpret mode on
     CPU) must agree with the XLA grid path: uniform, non-uniform tensor
