@@ -176,17 +176,23 @@ def main():
                                       0.0, 1.0, dtype=jnp.float64)
             M64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
                                       1.0, 0.0, dtype=jnp.float64)
-            # STEPWISE f64 residual: the slab tables are block-bidiagonal,
-            # so A x is evaluated per step (nt blocks at a time) in a scan
-            # -- the whole-slab f64 apply materializes multi-GB emulated-f64
-            # quadrature temporaries at 16^3 (ResourceExhausted)
-            struct64 = SystemMatrix._detect_step_structure(
-                np.asarray(Alpha), np.asarray(Beta))
-            assert struct64 is not None, "IR needs the step structure"
-            nt64, A0_, A1_, B0_, B1_ = struct64
-            m64_step = SystemMatrix(K64, M64, A0_, B0_)
-            m64_coup = SystemMatrix(K64, M64, A1_, B1_)
-            matrix64 = (m64_step, m64_coup)
+            # f64 residual form: STEPWISE scan by default.  The whole-slab
+            # banded apply (STFEM_BENCH_IR_STEPWISE=0) fits HBM now but
+            # MEASURED 2.6x slower end-to-end at 16^3 (12 vs 32 MDoF/s --
+            # the [96, 65^3] emulated-f64 temporaries thrash HBM); the
+            # 32-step scan keeps the f64 working set at 3 blocks.
+            ir_stepwise = os.environ.get("STFEM_BENCH_IR_STEPWISE",
+                                         "1") == "1"
+            if ir_stepwise:
+                struct64 = SystemMatrix._detect_step_structure(
+                    np.asarray(Alpha), np.asarray(Beta))
+                assert struct64 is not None, "IR needs the step structure"
+                nt64, A0_, A1_, B0_, B1_ = struct64
+                m64_step = SystemMatrix(K64, M64, A0_, B0_)
+                m64_coup = SystemMatrix(K64, M64, A1_, B1_)
+                matrix64 = (m64_step, m64_coup)
+            else:
+                matrix64 = SystemMatrix(K64, M64, Alpha, Beta)
             rhs_matrix64 = SystemMatrix(K64, M64, np.zeros_like(Gamma),
                                         Gamma)
             force64 = ForceAssembler(mesh, space_degree, space_degree + 1,
@@ -227,6 +233,19 @@ def main():
               else _reorth_env == "1")
     vbf16 = jnp.bfloat16 if os.environ.get(
         "STFEM_BENCH_VBF16", "0") == "1" else None
+    # right-preconditioned (non-flexible) GMRES: the V-cycle is linear, so
+    # dropping the Z basis halves Krylov HBM (one extra V-cycle per solve)
+    flex = os.environ.get("STFEM_BENCH_FLEX", "1") == "1"
+
+    # first-solve tolerance: in IR mode, FGMRES iterations past the f32
+    # TRUE-residual floor (~kappa*eps: 4e-6 at 8^3, 1.5e-5 at 16^3) buy
+    # nothing -- the Givens estimate keeps dropping while the true residual
+    # stalls, and the f64 correction pass bridges the rest either way.
+    # Stopping the first solve at the floor saves those iterations.
+    rtol1 = float(os.environ.get(
+        "STFEM_BENCH_RTOL1",
+        ("1e-8" if not use_ir else
+         ("4e-6" if cells_per_axis <= 8 else "1.5e-5"))))
 
     def solve_slab(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
         rhs = rhs_matrix_.vmult(prev_x[None])
@@ -235,8 +254,9 @@ def main():
         x0 = jnp.broadcast_to(prev_x, shape)
         res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
                      maxiter=bench_maxiter,
-                     abstol=1e-30, reltol=1e-8,
-                     reorthogonalize=reorth, basis_dtype=vbf16)
+                     abstol=1e-30, reltol=rtol1,
+                     reorthogonalize=reorth, basis_dtype=vbf16,
+                     flexible=flex)
         return res.x, res.iterations, res.residual, res.converged
 
     # one IR pass must bridge the f32 true-residual floor (~kappa * eps,
@@ -269,6 +289,9 @@ def main():
     jit_solve = jax.jit(solve_slab)
 
     def _resid_stepwise(m64_, rhs64, x):
+        if isinstance(m64_, SystemMatrix):
+            r = rhs64 - m64_.vmult(x)
+            return r, jnp.linalg.norm(r.reshape(-1))
         m_step, m_coup = m64_
         sshape = (n_at_once, n_blocks // n_at_once) + x.shape[1:]
         xs = x.reshape(sshape)
@@ -294,7 +317,8 @@ def main():
         res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
                      precondition=gmg_.vmult, maxiter=ir_maxiter,
                      abstol=1e-30, reltol=ir_rtol,
-                     reorthogonalize=reorth, basis_dtype=vbf16)
+                     reorthogonalize=reorth, basis_dtype=vbf16,
+                     flexible=flex)
         return res.x, res.iterations
 
     @jax.jit

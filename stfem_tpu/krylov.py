@@ -41,7 +41,7 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
            precondition: Callable | None = None, maxiter: int = 100,
            abstol: float = 1e-12, reltol: float = 1e-12,
            reorthogonalize: bool | str = True,
-           basis_dtype=None) -> FGMRESResult:
+           basis_dtype=None, flexible: bool = True) -> FGMRESResult:
     """Flexible GMRES without restarting (basis size == maxiter; the
     reference uses basis 100 with <=200 iterations but its configured solves
     converge well within one cycle).
@@ -65,7 +65,16 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     basis_dtype (e.g. jnp.bfloat16) stores the ORTHONORMAL basis V at
     reduced precision (Gram-Schmidt arithmetic stays f32 through type
     promotion); the solution directions Z stay in the working dtype so the
-    returned x is full-precision.  Halves the dominant HBM traffic."""
+    returned x is full-precision.  Halves the dominant HBM traffic.
+
+    flexible=False switches to RIGHT-preconditioned GMRES: the Z basis is
+    never stored and the solution is reconstructed as x = x0 + M(V y) with
+    ONE extra preconditioner application after convergence.  Valid ONLY
+    when the preconditioner is a fixed LINEAR operator -- true for the
+    STMG V-cycle as configured here (fixed-step relaxation/Chebyshev
+    smoothers, direct or fixed-iteration coarse solve), in which case the
+    iterates are identical to FGMRES in exact arithmetic.  Halves the
+    Krylov HBM footprint (V only), enabling 32^3-scale slabs."""
     if precondition is None:
         precondition = lambda v: v
     dtype = b.dtype
@@ -86,7 +95,7 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     _CH = int(os.environ.get("STFEM_GS_CHUNK", "8"))
     m_pad = ((m + 1 + _CH - 1) // _CH) * _CH
     V = jnp.zeros((m_pad, n), vdtype)
-    Z = jnp.zeros((m, n), dtype)
+    Z = jnp.zeros((m if flexible else 1, n), dtype)
     H = jnp.zeros((m + 1, m), dtype)   # Givens-rotated (upper triangular) R
     cs = jnp.zeros(m, dtype)
     sn = jnp.zeros(m, dtype)
@@ -111,7 +120,8 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         v = vnext.astype(dtype).reshape(shape)
         z = precondition(v)
         w = A(z).reshape(-1)
-        Z = Z.at[j].set(z.reshape(-1))
+        if flexible:
+            Z = Z.at[j].set(z.reshape(-1))
 
         # classical Gram-Schmidt (+ optional reorthogonalization); rows > j
         # of V are zero so restricting the contraction to the CHUNKS that
@@ -206,7 +216,11 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     rhs = jnp.where(mask, g[:m], 0.0)
     y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
     with jax.default_matmul_precision("highest"):
-        x = x0 + (Z.T @ y).reshape(shape)
+        if flexible:
+            x = x0 + (Z.T @ y).reshape(shape)
+        else:
+            vy = (V[:m].astype(dtype).T @ y).reshape(shape)
+            x = x0 + precondition(vy)
     return FGMRESResult(x=x, iterations=j, residual=res, converged=res <= tol)
 
 

@@ -120,3 +120,38 @@ def test_masked_cell_domain_heat():
     # solution stays zero inside the hole, decays the bump elsewhere
     assert abs(x[-1][7, 7]) == 0.0
     assert 0 < np.max(np.abs(x[-1])) < np.max(np.abs(np.asarray(u0)))
+
+
+def test_right_preconditioned_gmres_matches_fgmres():
+    """flexible=False (right-preconditioned GMRES, no Z basis) must produce
+    the same iterates as FGMRES when the preconditioner is a fixed linear
+    operator -- identical iteration count and solution to solver tolerance
+    (the STMG V-cycle is linear: fixed-step relaxation + direct coarse)."""
+    import jax.numpy as jnp
+    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+
+    mesh = StructuredMesh([8, 8], [0.0, 0.0], [1.0, 1.0])
+    K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0)
+    M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0)
+    A, B, G, _ = get_fe_time_weights(TimeStepType.DG, 1, 1 / 16, 2)
+    mat = SystemMatrix(K, M, A, B)
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal((A.shape[0],) + tuple(K.dof_shape))
+                      ) * K.mask[None]
+    # linear preconditioner: a fixed diagonal scaling
+    diag = 1.0 / (1.0 + jnp.asarray(
+        rng.uniform(0.0, 2.0, rhs.shape)))
+    precond = lambda v: diag * v
+    r1 = fgmres(mat.vmult, rhs, jnp.zeros_like(rhs), precondition=precond,
+                maxiter=200, abstol=1e-30, reltol=1e-10, flexible=True)
+    r2 = fgmres(mat.vmult, rhs, jnp.zeros_like(rhs), precondition=precond,
+                maxiter=200, abstol=1e-30, reltol=1e-10, flexible=False)
+    assert bool(r1.converged) and bool(r2.converged)
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=0, atol=1e-8 * float(
+                                   jnp.max(jnp.abs(r1.x))))
