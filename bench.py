@@ -188,9 +188,18 @@ def main():
                     np.asarray(Alpha), np.asarray(Beta))
                 assert struct64 is not None, "IR needs the step structure"
                 nt64, A0_, A1_, B0_, B1_ = struct64
-                m64_step = SystemMatrix(K64, M64, A0_, B0_)
-                m64_coup = SystemMatrix(K64, M64, A1_, B1_)
-                matrix64 = (m64_step, m64_coup)
+                # MEASURED dead ends: whole-slab apply (12 MDoF/s) and
+                # chunked scans (chunk 4: 23.6) both lose to the per-step
+                # scan (31.8) -- emulated-f64 wants the smallest working
+                # set.  The one win: fuse the rank-1 step coupling into the
+                # step pair via a RECTANGULAR (nt x nt+1) table reading
+                # [prev_last, step blocks] -- one banded Kronecker pair on
+                # nt+1 blocks instead of two pairs (nt + 1).
+                assert not (np.any(A1_[:, :-1]) or np.any(B1_[:, :-1])), \
+                    "step coupling must read only the previous last dof"
+                A04 = np.concatenate([A1_[:, -1:], A0_], axis=1)
+                B04 = np.concatenate([B1_[:, -1:], B0_], axis=1)
+                matrix64 = SystemMatrix(K64, M64, A04, B04)
             else:
                 matrix64 = SystemMatrix(K64, M64, Alpha, Beta)
             rhs_matrix64 = SystemMatrix(K64, M64, np.zeros_like(Gamma),
@@ -289,11 +298,32 @@ def main():
     jit_solve = jax.jit(solve_slab)
 
     def _resid_stepwise(m64_, rhs64, x):
-        if isinstance(m64_, SystemMatrix):
+        if isinstance(m64_, SystemMatrix) \
+                and int(m64_.Alpha.shape[1]) == n_blocks:
+            # whole-slab apply (STFEM_BENCH_IR_STEPWISE=0)
             r = rhs64 - m64_.vmult(x)
             return r, jnp.linalg.norm(r.reshape(-1))
+        if isinstance(m64_, SystemMatrix):
+            # rectangular per-step form: rows = one step's nt blocks,
+            # cols = [previous step's last block, step blocks]
+            ntb = int(m64_.Alpha.shape[0])
+            sshape = (n_blocks // ntb, ntb) + x.shape[1:]
+            xs = x.reshape(sshape)
+            prev = jnp.concatenate(
+                [jnp.zeros_like(xs[:1, -1:]), xs[:-1, -1:]], axis=0)
+            xin = jnp.concatenate([prev, xs], axis=1)
+            rh = rhs64.reshape(sshape)
+
+            def body(carry, inp):
+                xi, rhi = inp
+                return carry, rhi - m64_.vmult(xi)
+
+            _, rs = jax.lax.scan(body, None, (xin, rh))
+            r = rs.reshape(x.shape)
+            return r, jnp.linalg.norm(r.reshape(-1))
         m_step, m_coup = m64_
-        sshape = (n_at_once, n_blocks // n_at_once) + x.shape[1:]
+        cb = int(m_step.Alpha.shape[0])       # blocks per scan chunk
+        sshape = (n_blocks // cb, cb) + x.shape[1:]
         xs = x.reshape(sshape)
         xp = jnp.concatenate([jnp.zeros_like(xs[:1]), xs[:-1]], axis=0)
         rh = rhs64.reshape(sshape)
