@@ -148,6 +148,9 @@ def main():
                                               if "STFEM_BENCH_POST_INNER"
                                               in os.environ else None),
                                           skip_identity_levels=skip_id,
+                                          no_post_smooth=os.environ.get(
+                                              "STFEM_BENCH_NOPOST",
+                                              "0") == "1",
                                           level_bf16=os.environ.get(
                                               "STFEM_BENCH_LEVEL_BF16",
                                               "1") == "1",

@@ -87,12 +87,19 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     tol = jnp.maximum(abstol, reltol * beta)
 
     vdtype = basis_dtype or dtype
-    # rows padded to a multiple of the Gram-Schmidt chunk so the chunked
-    # dynamic slices never clamp (a clamped slice would re-read -- and
-    # re-project -- the tail rows)
-    # chunk 8 measured best: 4 halves the early-prefix reads but the extra
-    # dynamic-slice loop trips cost more (noprec/iter 28.7 -> 34.9 at 16^3)
-    _CH = int(os.environ.get("STFEM_GS_CHUNK", "8"))
+    # Gram-Schmidt basis-read strategy.  The chunked prefix loop reads only
+    # the filled rows 0..j, but each lax.dynamic_slice MATERIALIZES its
+    # (CH, n) chunk -- a read+write copy of CH basis vectors per chunk per
+    # pass (measured: the model "copy + matmul-read per chunk" reproduces
+    # the per-iteration glue cost exactly at 16^3).  A full-basis matmul
+    # reads all m_pad rows ONCE with no copy, so it wins whenever
+    # m_pad <= ~2x the average active prefix -- i.e. for the short bases
+    # the preconditioned solves actually use.  STFEM_GS_CHUNK=0 forces
+    # full-basis; the default auto-picks full for m <= 16.
+    _CH = int(os.environ.get("STFEM_GS_CHUNK", "8" if m > 16 else "0"))
+    full_gs = _CH <= 0
+    if full_gs:
+        _CH = 8
     m_pad = ((m + 1 + _CH - 1) // _CH) * _CH
     V = jnp.zeros((m_pad, n), vdtype)
     Z = jnp.zeros((m if flexible else 1, n), dtype)
@@ -133,20 +140,29 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         CH = _CH
         n_active = j // CH + 1
 
-        def gs_dots(w):
-            def hc_body(c, h):
-                blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    h, blk @ w, c * CH, 0)
-            return jax.lax.fori_loop(0, n_active, hc_body,
-                                     jnp.zeros(V.shape[0], dtype))
+        if full_gs:
+            # rows > j are zero, so the full contraction is exact; no
+            # dynamic slices -> no chunk copies
+            def gs_dots(w):
+                return V @ w
 
-        def gs_proj(w, h):
-            def proj_body(c, wv):
-                blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
-                hc = jax.lax.dynamic_slice_in_dim(h, c * CH, CH, 0)
-                return wv - blk.T @ hc
-            return jax.lax.fori_loop(0, n_active, proj_body, w)
+            def gs_proj(w, h):
+                return w - V.T @ h
+        else:
+            def gs_dots(w):
+                def hc_body(c, h):
+                    blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        h, blk @ w, c * CH, 0)
+                return jax.lax.fori_loop(0, n_active, hc_body,
+                                         jnp.zeros(V.shape[0], dtype))
+
+            def gs_proj(w, h):
+                def proj_body(c, wv):
+                    blk = jax.lax.dynamic_slice_in_dim(V, c * CH, CH, 0)
+                    hc = jax.lax.dynamic_slice_in_dim(h, c * CH, CH, 0)
+                    return wv - blk.T @ hc
+                return jax.lax.fori_loop(0, n_active, proj_body, w)
 
         def gs_pass(w):
             h = gs_dots(w)
@@ -176,18 +192,33 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         h = h.at[j + 1].add(wnorm)
         vnext = jnp.where(wnorm > 0, w / jnp.where(wnorm == 0, 1, wnorm), 0)
 
-        # apply the existing Givens rotations to the new column
-        def rot_body(i, hcol):
-            hi = hcol[i]
-            hip = hcol[i + 1]
-            new_hi = cs[i] * hi + sn[i] * hip
-            new_hip = -sn[i] * hi + cs[i] * hip
-            pred = i < j
-            hcol = hcol.at[i].set(jnp.where(pred, new_hi, hi))
-            hcol = hcol.at[i + 1].set(jnp.where(pred, new_hip, hip))
-            return hcol
+        # apply the existing Givens rotations to the new column.  The chain
+        #   h'[i]   = cs[i] c[i] + sn[i] h[i+1]        (i < j)
+        #   c[i+1]  = -sn[i] c[i] + cs[i] h[i+1],  c[0] = h[0]
+        # is a first-order affine recurrence in the carried value c --
+        # evaluated as an associative scan (log2(m) tiny ops) instead of the
+        # m sequential fori_loop trips, which cost ~0.1 ms/trip of pure
+        # dispatch latency on TPU.  Rotations i >= j compose as identity
+        # (a=1, b=0), so c saturates at c[j] and the scan length is static.
+        idx_m = jnp.arange(m)
+        act = idx_m < j
+        a_seq = jnp.where(act, -sn, jnp.ones((), dtype))
+        b_seq = jnp.where(act, cs * h[1: m + 1], jnp.zeros((), dtype))
 
-        h = jax.lax.fori_loop(0, m, rot_body, h)
+        def _affine_compose(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return a1 * a2, a2 * b1 + b2
+
+        cumA, cumB = jax.lax.associative_scan(_affine_compose,
+                                              (a_seq, b_seq))
+        c_carry = jnp.concatenate([h[:1], cumA * h[0] + cumB])  # len m+1
+        idx = jnp.arange(m + 1)
+        cs1 = jnp.concatenate([cs, jnp.ones((1,), dtype)])
+        sn1 = jnp.concatenate([sn, jnp.zeros((1,), dtype)])
+        h_shift = jnp.concatenate([h[1: m + 1], jnp.zeros((1,), dtype)])
+        h = jnp.where(idx < j, cs1 * c_carry + sn1 * h_shift,
+                      jnp.where(idx == j, c_carry, h[: m + 1]))
 
         # new rotation zeroing h[j+1]
         denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)

@@ -86,6 +86,11 @@ class GMGParams:
     # reference behavior: post_inner=1 drops one (vanka + level matvec)
     # per level visit; worthwhile when the iteration count holds
     post_smoother_inner_iterations: int | None = None
+    # V(k,0) cycle: skip post-smoothing entirely.  NOT a reference behavior
+    # (deal.II Multigrid always post-smooths); a throughput knob for the
+    # outer-Krylov-wrapped use where the fine-level post-smooth is ~half the
+    # V-cycle cost and the Krylov method absorbs the weaker cycle.
+    no_post_smooth: bool = False
     # Run the WHOLE V-cycle in bfloat16 (level operators, Vanka down/up
     # matmuls, transfers): halves the HBM traffic of the grid-sumfac
     # temporaries, which bound the fine-level cost.  The Vanka time-solve
@@ -194,6 +199,8 @@ class GMG:
 
     def _post_smooth(self, level: int, u, rhs):
         lvl = self.levels[level]
+        if self.params.no_post_smooth:
+            return u
         if self.params.skip_identity_levels and \
                 isinstance(lvl.smoother, IdentitySmoother):
             return u
