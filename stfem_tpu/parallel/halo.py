@@ -50,59 +50,67 @@ def join_dof_grid(parts: list[np.ndarray], degree: int,
 
 
 def make_sharded_vmult(matrix_local: SystemMatrix, mesh: Mesh,
-                       axis_name: str = "x"):
+                       axis_name: str | tuple[str, ...] = "x"):
     """Sharded space-time system apply.
 
     matrix_local: a SystemMatrix built for the LOCAL sub-mesh (each shard's
     cell slab with its own Dirichlet mask slice).  Returns a function on
     [n_blocks, local_dofs_x, ny, ...] per-shard arrays (use under shard_map
-    or jit with explicit shardings).
+    or jit with explicit shardings).  axis_name may be a tuple of mesh axis
+    names for multi-axis domain decomposition; spatial array axis i+1 is
+    exchanged along axis_name[i] (corners handled by the sequential
+    exchanges -- see comm.halo_accumulate_nd).
     """
-    n = mesh.devices.size
+    from .comm import halo_accumulate_nd
+
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    array_axes = tuple(range(1, 1 + len(names)))
 
     def vmult(x_local):
         y = matrix_local.vmult(x_local)
-        # accumulate the shared interface planes:
-        # send my FIRST plane's partial sum to the left neighbor, add what I
-        # receive onto my LAST plane; then mirror (right -> left).
-        idx = jax.lax.axis_index(axis_name)
-        first = y[:, :1]
-        last = y[:, -1:]
-        from_right = jax.lax.ppermute(
-            first, axis_name, [(i, (i - 1) % n) for i in range(n)])
-        from_left = jax.lax.ppermute(
-            last, axis_name, [(i, (i + 1) % n) for i in range(n)])
-        # ring wrap-around must not contribute (non-periodic domain)
-        add_last = jnp.where(idx < n - 1, from_right, 0.0)
-        add_first = jnp.where(idx > 0, from_left, 0.0)
-        y = y.at[:, -1:].add(add_last)
-        y = y.at[:, :1].add(add_first)
-        return y
+        return halo_accumulate_nd(y, names, array_axes)
 
     return vmult
 
 
-def local_submesh(mesh_full, shard: int, n_shards: int):
-    """The shard's cell slab as a StructuredMesh (first axis split)."""
+def local_submesh(mesh_full, shard: int | tuple[int, ...],
+                  n_shards: int | tuple[int, ...]):
+    """The shard's cell slab as a StructuredMesh.
+
+    shard/n_shards may be ints (first-axis split, the 1-axis layout) or
+    tuples over the leading axes (multi-axis domain decomposition); axes
+    beyond len(n_shards) stay unsplit."""
     from ..mesh.grid import StructuredMesh
     cells = mesh_full.cells
-    assert cells[0] % n_shards == 0
-    clx = cells[0] // n_shards
-    h0 = mesh_full.h[0]
+    dim = mesh_full.dim
+    sh = (shard,) if isinstance(shard, int) else tuple(shard)
+    ns = (n_shards,) if isinstance(n_shards, int) else tuple(n_shards)
+    assert len(sh) == len(ns) <= dim
+    sh = sh + (0,) * (dim - len(sh))
+    ns = ns + (1,) * (dim - len(ns))
+    cl = []
     lo = np.array(mesh_full.lower, dtype=float)
     hi = np.array(mesh_full.upper, dtype=float)
-    lo[0] = mesh_full.lower[0] + shard * clx * h0
-    hi[0] = lo[0] + clx * h0
-    sub = StructuredMesh([1] * mesh_full.dim, lo, hi, refinement=0)
-    # overwrite cell structure: clx cells on axis 0, full cells elsewhere
-    sub.cells = (clx,) + tuple(cells[1:])
-    sub.h = np.array([h0] + list(mesh_full.h[1:]))
+    for d in range(dim):
+        assert cells[d] % ns[d] == 0
+        cl.append(cells[d] // ns[d])
+        lo[d] = mesh_full.lower[d] + sh[d] * cl[d] * mesh_full.h[d]
+        hi[d] = lo[d] + cl[d] * mesh_full.h[d]
+    sub = StructuredMesh([1] * dim, lo, hi, refinement=0)
+    # overwrite cell structure with the local split counts
+    sub.cells = tuple(cl)
+    sub.h = np.array(list(mesh_full.h))
     return sub
 
 
-def local_mask(mesh_full, degree: int, shard: int, n_shards: int):
+def local_mask(mesh_full, degree: int, shard: int | tuple[int, ...],
+               n_shards: int | tuple[int, ...]):
     """Per-shard slice of the global Dirichlet mask (interface planes are
     interior dofs, NOT eliminated)."""
     full = mesh_full.boundary_dof_mask(degree)
-    parts = split_dof_grid(full, n_shards, degree, axis=0)
-    return parts[shard]
+    sh = (shard,) if isinstance(shard, int) else tuple(shard)
+    ns = (n_shards,) if isinstance(n_shards, int) else tuple(n_shards)
+    out = full
+    for d, (s, n) in enumerate(zip(sh, ns)):
+        out = split_dof_grid(out, n, degree, axis=d)[s]
+    return out

@@ -74,6 +74,119 @@ def test_sharded_vmult_parity(degree):
     np.testing.assert_allclose(y_join, y_ref, rtol=1e-10, atol=1e-10)
 
 
+def test_sharded_vmult_parity_2axis():
+    """TWO-axis explicit domain decomposition (2x4 device mesh): operator
+    apply with sequential per-axis ppermute halo accumulation equals the
+    single-device apply, corners included (comm.halo_accumulate_nd)."""
+    nx, ny = 2, 4
+    degree = 2
+    devices = np.array(jax.devices()[:nx * ny]).reshape(nx, ny)
+    mesh_dev = Mesh(devices, ("x", "y"))
+
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=3)  # 8x8 cells
+    tau = 1.0 / 8
+    K = LaplaceMassOperator(mesh, degree, degree + 1, 0.0, 1.0)
+    M = LaplaceMassOperator(mesh, degree, degree + 1, 1.0, 0.0)
+    A, B, _, _ = get_fe_time_weights(TimeStepType.DG, 1, tau, 1)
+    mat = SystemMatrix(K, M, A, B)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((A.shape[0],) + mesh.dof_shape(degree))
+    y_ref = np.asarray(mat.vmult(jnp.asarray(x)))
+
+    sub = local_submesh(mesh, (0, 0), (nx, ny))
+    Kl = LaplaceMassOperator(sub, degree, degree + 1, 0.0, 1.0,
+                             mask=np.ones(sub.dof_shape(degree)))
+    Ml = LaplaceMassOperator(sub, degree, degree + 1, 1.0, 0.0,
+                             mask=np.ones(sub.dof_shape(degree)))
+    mat_l = SystemMatrix(Kl, Ml, A, B)
+    base_vmult = make_sharded_vmult(mat_l, mesh_dev, axis_name=("x", "y"))
+
+    def sharded_op(x_loc, m_loc):
+        return base_vmult(x_loc * m_loc) * m_loc
+
+    spec = PartitionSpec(None, "x", "y")
+    f = shard_map(sharded_op, mesh=mesh_dev,
+                  in_specs=(spec, spec), out_specs=spec, check_rep=False)
+
+    # concatenated overlapping slabs along both axes (shard_map splits the
+    # concatenation evenly back into the per-shard local arrays)
+    nb = A.shape[0]
+    xs_rows, ms_rows = [], []
+    for i in range(nx):
+        xi = split_dof_grid(x, nx, degree, axis=1)[i]
+        mi = split_dof_grid(mesh.boundary_dof_mask(degree), nx, degree,
+                            axis=0)[i]
+        xs_rows.append(np.concatenate(
+            split_dof_grid(xi, ny, degree, axis=2), axis=2))
+        ms_rows.append(np.concatenate(
+            split_dof_grid(mi, ny, degree, axis=1), axis=1))
+    xs = np.concatenate(xs_rows, axis=1)
+    ms = np.concatenate([m[None].repeat(nb, 0) for m in ms_rows], axis=1)
+    y_sh = np.asarray(f(jnp.asarray(xs), jnp.asarray(ms)))
+
+    Lx = xs_rows[0].shape[1]
+    Ly = xs_rows[0].shape[2] // ny
+    rows = []
+    for i in range(nx):
+        row = y_sh[:, i * Lx:(i + 1) * Lx]
+        cols = [row[:, :, j * Ly:(j + 1) * Ly] for j in range(ny)]
+        rows.append(join_dof_grid(cols, degree, axis=2))
+    y_join = join_dof_grid(rows, degree, axis=1)
+    np.testing.assert_allclose(y_join, y_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_psum_dot_parity():
+    """Interface-weighted distributed dot product equals the global dot
+    despite the replicated interface planes (comm.psum_dot -- the MPI::sum
+    analogue, reference operators.h:1387)."""
+    from stfem_tpu.parallel.comm import psum_dot, psum_norm
+
+    nx, ny = 2, 4
+    degree = 3
+    devices = np.array(jax.devices()[:nx * ny]).reshape(nx, ny)
+    mesh_dev = Mesh(devices, ("x", "y"))
+    mesh = StructuredMesh([1, 1], [0, 0], [1, 1], refinement=3)
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((2,) + mesh.dof_shape(degree))
+    b = rng.standard_normal(a.shape)
+    dot_ref = float(np.sum(a * b))
+    nrm_ref = float(np.sqrt(np.sum(a * a)))
+
+    def cat2(g):
+        rows = []
+        for i in range(nx):
+            gi = split_dof_grid(g, nx, degree, axis=1)[i]
+            rows.append(np.concatenate(
+                split_dof_grid(gi, ny, degree, axis=2), axis=2))
+        return np.concatenate(rows, axis=1)
+
+    spec = PartitionSpec(None, "x", "y")
+    f = shard_map(
+        lambda al, bl: (psum_dot(al, bl, ("x", "y"), (1, 2)),
+                        psum_norm(al, ("x", "y"), (1, 2))),
+        mesh=mesh_dev, in_specs=(spec, spec),
+        out_specs=(PartitionSpec(), PartitionSpec()), check_rep=False)
+    dot_sh, nrm_sh = f(jnp.asarray(cat2(a)), jnp.asarray(cat2(b)))
+    np.testing.assert_allclose(float(dot_sh), dot_ref, rtol=1e-12)
+    np.testing.assert_allclose(float(nrm_sh), nrm_ref, rtol=1e-12)
+
+
+def test_two_level_mesh():
+    """Nested DCN x ICI mesh: axis layout and ICI-only sharding rule."""
+    from stfem_tpu.parallel.comm import two_level_mesh
+
+    m = two_level_mesh(2, (2, 2))
+    assert m.axis_names == ("dcn", "x", "y")
+    assert m.devices.shape == (2, 2, 2)
+    # a sharding naming only ICI axes replicates across the DCN axis
+    from jax.sharding import NamedSharding
+    s = NamedSharding(m, PartitionSpec(None, "x", "y"))
+    arr = jax.device_put(jnp.zeros((2, 4, 4)), s)
+    # every device holds a (2, 2, 2) shard -> DCN-replicated spatial tiles
+    assert arr.addressable_shards[0].data.shape == (2, 2, 2)
+
+
 def test_sharded_stmg_solve_parity():
     """FULL STMG-preconditioned FGMRES slab solve under GSPMD sharding on an
     8-device mesh equals the single-device solve (the multi-chip execution
