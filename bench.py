@@ -31,7 +31,10 @@ STFEM_BENCH_COARSE (Direct|GMRES|Smoother, default Direct),
 STFEM_BENCH_BF16 (bf16 Vanka storage, default 1), STFEM_BENCH_LEVEL_BF16
 (bf16 V-cycle levels, default 1), STFEM_BENCH_EIG_PROXY (proxy-mesh
 eigenvalue estimates, default 4), STFEM_BENCH_IR / _IR_RTOL / _IR_PASSES
-(iterative refinement; rtol default scales with the f32 floor).
+(iterative refinement; rtol default scales with the f32 floor),
+STFEM_BENCH_IR_FF (float-float residual engine, default 1; 0 = emulated-f64
+stepwise), STFEM_BENCH_IR_RICH (k > 0: k fixed Richardson steps replace the
+FGMRES correction solve).
 """
 from __future__ import annotations
 
@@ -79,6 +82,12 @@ def main():
     use_ir = os.environ.get("STFEM_BENCH_IR", "1") == "1"
     ir_passes = int(os.environ.get("STFEM_BENCH_IR_PASSES", "1"))
     ir_maxiter = int(os.environ.get("STFEM_BENCH_IR_MAXITER", "10"))
+    # float-float IR engine (default): the residual/update/verify chain runs
+    # in double-single arithmetic (two f32s, ~2^-48; ops/floatfloat.py) --
+    # native VPU ops instead of the x64 integer emulation, no f64 arrays on
+    # the device at all.  STFEM_BENCH_IR_FF=0 restores the emulated-f64
+    # stepwise path for A/B.
+    ir_ff = os.environ.get("STFEM_BENCH_IR_FF", "1") == "1"
     if use_ir:
         jax.config.update("jax_enable_x64", True)
     cells_per_axis = int(os.environ.get("STFEM_BENCH_CELLS", "16"))
@@ -167,8 +176,18 @@ def main():
         force = ForceAssembler(mesh, space_degree, space_degree + 1,
                                lambda p, t: heat_problem.rhs(p, t, 1.0),
                                K.mask_np, dtype=dtype)
-        matrix64 = rhs_matrix64 = force64 = None
-        if use_ir:
+        matrix64 = rhs_matrix64 = force64 = ffres = None
+        if use_ir and ir_ff:
+            from stfem_tpu.ops.floatfloat import FFSlabResidual
+            K64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                      0.0, 1.0, dtype=jnp.float64)
+            M64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                      1.0, 0.0, dtype=jnp.float64)
+            ffres = FFSlabResidual(K64, M64, Alpha, Beta, Gamma)
+            force64 = ForceAssembler(mesh, space_degree, space_degree + 1,
+                                     lambda p, t: heat_problem.rhs(p, t, 1.0),
+                                     K.mask_np, dtype=jnp.float64)
+        elif use_ir:
             # f64 discretization for the refinement residuals (reference
             # outer-solver precision, time_integrators.h:56-59).  The f64
             # FORCE slabs are precomputed here on the host CPU where f64 is
@@ -358,11 +377,79 @@ def main():
     def jit_update(x, rnorm, corr):
         return x + rnorm * corr.astype(jnp.float64)
 
+    # ---- float-float IR stages (ir_ff): no x64 on the device at all ----
+    @jax.jit
+    def jit_resid_ff(ffres_, prev_ff, x_ff, fhi, flo):
+        return ffres_.residual(prev_ff, x_ff, (fhi, flo))
+
+    # Richardson correction (STFEM_BENCH_IR_RICH=k > 0): k fixed
+    # V-cycle-preconditioned Richardson steps instead of the FGMRES
+    # correction solve -- no Krylov glue (basis traffic, Gram-Schmidt,
+    # estimate) at all.  Valid because the IR verification (untimed ff
+    # residual) still gates `converged`; if the V-cycle error propagator
+    # were not contractive the verify would fail, not lie.
+    ir_rich = int(os.environ.get("STFEM_BENCH_IR_RICH", "0"))
+
+    @jax.jit
+    def jit_correct_ff(matrix_, gmg_, r_hi, rnorm):
+        r32 = r_hi / rnorm
+        if ir_rich > 0:
+            c = gmg_.vmult(r32)
+            for _ in range(ir_rich - 1):
+                c = c + gmg_.vmult(r32 - matrix_.vmult(c))
+            return c, jnp.asarray(ir_rich, jnp.int32)
+        res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
+                     precondition=gmg_.vmult, maxiter=ir_maxiter,
+                     abstol=1e-30, reltol=ir_rtol,
+                     reorthogonalize=reorth, basis_dtype=vbf16,
+                     flexible=flex)
+        return res.x, res.iterations
+
+    @jax.jit
+    def jit_update_ff(x_ff, rnorm, corr):
+        from stfem_tpu.ops.floatfloat import ff_add_f32
+        return ff_add_f32(x_ff, rnorm * corr)
+
+    def march_ff(matrix_, rhs_matrix_, gmg_, force_, ffres_, fslabs_ff,
+                 prev_ff, t0_, n):
+        """IR march with the double-single residual engine: the f32 solve,
+        ff residual, f32 correction, and ff verify are separate executables
+        (same split as the f64 path); per-slab timing semantics identical."""
+        its, rss, cvs, rels, times = [], [], [], [], []
+        prev, t = prev_ff, np.float32(t0_)
+        fhi, flo = fslabs_ff
+        for i in range(n):
+            t0 = time.time()
+            x32, it, rs, cv = jit_solve(matrix_, rhs_matrix_, gmg_, force_,
+                                        prev[0], t)
+            x_ff = (x32, jnp.zeros_like(x32))
+            for _ in range(ir_passes):
+                (r_hi, _r_lo), rnorm, _bn = jit_resid_ff(
+                    ffres_, prev, x_ff, fhi[i], flo[i])
+                corr, extra = jit_correct_ff(matrix_, gmg_, r_hi, rnorm)
+                x_ff = jit_update_ff(x_ff, rnorm, corr)
+                it = it + extra
+            _ = float(x_ff[0][-1, 0, 0, 0])    # force completion
+            times.append(time.time() - t0)
+            # untimed ff verification (drained before the next timed window)
+            _r2, rn2, bn2 = jit_resid_ff(ffres_, prev, x_ff, fhi[i], flo[i])
+            rels.append(float(rn2) / float(bn2))
+            its.append(it)
+            rss.append(rs)
+            cvs.append(cv)
+            prev = (x_ff[0][-1], x_ff[1][-1])
+            t = np.float32(t + tau * n_at_once)
+        return (prev, (np.array(times), np.array(rels)), jnp.stack(its),
+                jnp.stack(rss), jnp.stack(cvs))
+
     def march(matrix_, rhs_matrix_, gmg_, force_, m64_, r64_, f64slabs,
               prev_x, t0_, n):
         if not use_ir:
             return march_f32(matrix_, rhs_matrix_, gmg_, force_, m64_,
                              r64_, f64slabs, prev_x, t0_, n)
+        if ir_ff:
+            return march_ff(matrix_, rhs_matrix_, gmg_, force_, m64_,
+                            f64slabs, prev_x, t0_, n)
         # per-slab timing + IMMEDIATE untimed f64 verification: keeping
         # all f64 slab solutions on-device for a post-march verify pass
         # exceeds HBM at 16^3 x 10 slabs (each solution is 211 MB f64)
@@ -412,9 +499,6 @@ def main():
         (matrix, rhs_matrix, gmg, force), tpu)
     f64slabs = None
     if use_ir:
-        matrix64, rhs_matrix64 = jax.device_put(
-            (matrix64, rhs_matrix64), tpu)
-        prev = prev.astype(jnp.float64)
         # host-side f64 force assembly per slab (native f64 on CPU)
         t_off64 = np.array([tau * (row // nt) + tau * float(tq[row % nt])
                             for row in range(n_blocks)], np.float64)
@@ -425,7 +509,22 @@ def main():
                       jnp.asarray(f_sc64))
                   for i in range(n_slabs)]
             f64slabs = jnp.stack(fs)
-        f64slabs = jax.device_put(f64slabs, tpu)
+        if ir_ff:
+            from stfem_tpu.ops.floatfloat import ff_from_f64
+            with jax.default_device(cpu):
+                fslabs_ff = ff_from_f64(f64slabs)
+                prev_ff = ff_from_f64(prev.astype(jnp.float64))
+            # route through the generic march slots: m64_ carries the ff
+            # residual engine, f64slabs the (hi, lo) force pair, prev the
+            # ff previous-solution pair
+            matrix64 = jax.device_put(ffres, tpu)
+            f64slabs = jax.device_put(fslabs_ff, tpu)
+            prev = jax.device_put(prev_ff, tpu)
+        else:
+            matrix64, rhs_matrix64 = jax.device_put(
+                (matrix64, rhs_matrix64), tpu)
+            prev = prev.astype(jnp.float64)
+            f64slabs = jax.device_put(f64slabs, tpu)
     print("# compiling slab solve", flush=True)
 
     # warmup/compile (same static slab count as the timed run).  NOTE:
@@ -436,18 +535,18 @@ def main():
     last, xs, iters, resid, conv = march(matrix, rhs_matrix, gmg, force,
                                          matrix64, rhs_matrix64, f64slabs,
                                          prev, np.float32(0.0), n_slabs)
-    _ = float(jnp.sum(last))
+    _ = float(jnp.sum(last[0] if isinstance(last, tuple) else last))
     compile_time = time.time() - t0
 
     t0 = time.time()
-    _ = float(jnp.sum(prev))
+    _ = float(jnp.sum(prev[0] if isinstance(prev, tuple) else prev))
     readback = time.time() - t0
 
     t0 = time.time()
     last, xs, iters, resid, conv = march(matrix, rhs_matrix, gmg, force,
                                          matrix64, rhs_matrix64, f64slabs,
                                          prev, np.float32(0.0), n_slabs)
-    _ = float(jnp.sum(last))
+    _ = float(jnp.sum(last[0] if isinstance(last, tuple) else last))
     if use_ir:
         # per-slab timings (each forced a completion readback; subtract
         # the measured readback latency per slab; verification excluded)
@@ -477,7 +576,6 @@ def main():
     else:
         true_rel = float(true_residual(matrix, rhs_matrix, gmg, force, prev,
                                        np.float32(0.0)))
-    x = last[None]
     iters_np = np.asarray(iters)
     resid = np.asarray(resid)[-1]
     conv = bool(np.all(np.asarray(conv)))
