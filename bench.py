@@ -34,7 +34,10 @@ eigenvalue estimates, default 4), STFEM_BENCH_IR / _IR_RTOL / _IR_PASSES
 (iterative refinement; rtol default scales with the f32 floor),
 STFEM_BENCH_IR_FF (float-float residual engine, default 1; 0 = emulated-f64
 stepwise), STFEM_BENCH_IR_RICH (k > 0: k fixed Richardson steps replace the
-FGMRES correction solve).
+FGMRES correction solve), STFEM_BENCH_OUTER (fgmres|richardson|chebyshev --
+the latter two are glue-free iterations with a true-residual check; see
+krylov.richardson_solve/chebyshev_solve), STFEM_BENCH_OMEGA (Richardson
+damping).
 """
 from __future__ import annotations
 
@@ -50,7 +53,9 @@ def main():
     import jax.numpy as jnp
 
     from stfem_tpu.integrators import ForceAssembler
-    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.krylov import (chebyshev_solve,
+                                  estimate_error_propagator_radius, fgmres,
+                                  richardson_solve)
     from stfem_tpu.mesh.grid import StructuredMesh
     from stfem_tpu.ops.spatial import LaplaceMassOperator
     from stfem_tpu.problems import heat as heat_problem
@@ -159,6 +164,9 @@ def main():
                                           skip_identity_levels=skip_id,
                                           no_post_smooth=os.environ.get(
                                               "STFEM_BENCH_NOPOST",
+                                              "0") == "1",
+                                          no_post_smooth_finest=os.environ.get(
+                                              "STFEM_BENCH_NOPOST_FINE",
                                               "0") == "1",
                                           level_bf16=os.environ.get(
                                               "STFEM_BENCH_LEVEL_BF16",
@@ -278,16 +286,37 @@ def main():
         ("1e-8" if not use_ir else
          ("4e-6" if cells_per_axis <= 8 else "1.5e-5"))))
 
+    # glue-free outer iterations (STFEM_BENCH_OUTER=richardson|chebyshev):
+    # matvec + V-cycle per step with a TRUE-residual check, no Krylov basis
+    # traffic / Gram-Schmidt / Givens at all.  Chebyshev needs spectral
+    # bounds for P A: rho(I - P A) estimated by power iteration at setup
+    # (untimed), spectrum taken as [1 - 1.05 rho, 1 + 1.05 rho].
+    outer = os.environ.get("STFEM_BENCH_OUTER", "fgmres")
+    cheb_interval = None
+    glue_free_maxiter = int(os.environ.get("STFEM_BENCH_MAXITER", "40"))
+
+    def outer_solve(matrix_, gmg_, rhs, x0, reltol, maxiter):
+        if outer == "richardson":
+            return richardson_solve(
+                matrix_.vmult, rhs, x0, gmg_.vmult,
+                omega=float(os.environ.get("STFEM_BENCH_OMEGA", "1.0")),
+                maxiter=glue_free_maxiter, abstol=1e-30, reltol=reltol)
+        if outer == "chebyshev":
+            return chebyshev_solve(
+                matrix_.vmult, rhs, x0, gmg_.vmult,
+                lambda_min=cheb_interval[0], lambda_max=cheb_interval[1],
+                maxiter=glue_free_maxiter, abstol=1e-30, reltol=reltol)
+        return fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
+                      maxiter=maxiter, abstol=1e-30, reltol=reltol,
+                      reorthogonalize=reorth, basis_dtype=vbf16,
+                      flexible=flex)
+
     def solve_slab(matrix_, rhs_matrix_, gmg_, force_, prev_x, t):
         rhs = rhs_matrix_.vmult(prev_x[None])
         rhs = rhs + force_.batched(t + jnp.asarray(t_offsets),
                                    jnp.asarray(f_scales))
         x0 = jnp.broadcast_to(prev_x, shape)
-        res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
-                     maxiter=bench_maxiter,
-                     abstol=1e-30, reltol=rtol1,
-                     reorthogonalize=reorth, basis_dtype=vbf16,
-                     flexible=flex)
+        res = outer_solve(matrix_, gmg_, rhs, x0, rtol1, bench_maxiter)
         return res.x, res.iterations, res.residual, res.converged
 
     # one IR pass must bridge the f32 true-residual floor (~kappa * eps,
@@ -366,11 +395,8 @@ def main():
     @jax.jit
     def jit_correct(matrix_, gmg_, r, rnorm):
         r32 = (r / rnorm).astype(jnp.float32)
-        res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
-                     precondition=gmg_.vmult, maxiter=ir_maxiter,
-                     abstol=1e-30, reltol=ir_rtol,
-                     reorthogonalize=reorth, basis_dtype=vbf16,
-                     flexible=flex)
+        res = outer_solve(matrix_, gmg_, r32, jnp.zeros_like(r32),
+                          ir_rtol, ir_maxiter)
         return res.x, res.iterations
 
     @jax.jit
@@ -398,11 +424,8 @@ def main():
             for _ in range(ir_rich - 1):
                 c = c + gmg_.vmult(r32 - matrix_.vmult(c))
             return c, jnp.asarray(ir_rich, jnp.int32)
-        res = fgmres(matrix_.vmult, r32, jnp.zeros_like(r32),
-                     precondition=gmg_.vmult, maxiter=ir_maxiter,
-                     abstol=1e-30, reltol=ir_rtol,
-                     reorthogonalize=reorth, basis_dtype=vbf16,
-                     flexible=flex)
+        res = outer_solve(matrix_, gmg_, r32, jnp.zeros_like(r32),
+                          ir_rtol, ir_maxiter)
         return res.x, res.iterations
 
     @jax.jit
@@ -497,6 +520,22 @@ def main():
     # re-transfers the patch inverses etc. through the tunnel)
     matrix, rhs_matrix, gmg, force = jax.device_put(
         (matrix, rhs_matrix, gmg, force), tpu)
+    if outer == "chebyshev":
+        from stfem_tpu.stmg.smoother import initial_guess
+        v0 = jax.device_put(initial_guess(shape, K.mask_np, jnp.float32),
+                            tpu)
+
+        @jax.jit
+        def _rho(m_, g_, v):
+            return estimate_error_propagator_radius(m_.vmult, g_.vmult, v)
+
+        t0r = time.time()
+        rho = float(_rho(matrix, gmg, v0))
+        print(f"# rho(I - PA) = {rho:.4f}  ({time.time() - t0r:.1f}s)",
+              flush=True)
+        assert 0.0 < rho < 1.0, \
+            f"V-cycle not contractive (rho = {rho}); chebyshev outer invalid"
+        cheb_interval = (1.0 - 1.05 * rho, 1.0 + 1.05 * rho)
     f64slabs = None
     if use_ir:
         # host-side f64 force assembly per slab (native f64 on CPU)

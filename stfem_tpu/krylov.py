@@ -255,6 +255,108 @@ def fgmres(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     return FGMRESResult(x=x, iterations=j, residual=res, converged=res <= tol)
 
 
+def richardson_solve(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+                     precondition: Callable, omega: float = 1.0,
+                     maxiter: int = 100, abstol: float = 1e-30,
+                     reltol: float = 1e-8) -> FGMRESResult:
+    """Preconditioned Richardson iteration x += omega * P(b - A x) with a
+    per-step TRUE-residual convergence check (the residual is computed for
+    the update anyway, so the check costs one norm reduction).
+
+    Rationale: the outer FGMRES's Krylov glue (basis HBM traffic,
+    Gram-Schmidt, Givens) costs ~27 ms of a ~58 ms iteration at 16^3 while
+    Richardson's step is just matvec + V-cycle; whenever the V-cycle error
+    propagator's spectral radius rho is below ~0.5 the glue-free iteration
+    wins wall-clock despite needing more steps.  Residual semantics match
+    deal.II ReductionControl: stop at ||r|| <= max(abstol, reltol*||r0||)."""
+    r0 = b - A(x0)
+    beta = _norm(r0)
+    tol = jnp.maximum(abstol, reltol * beta)
+
+    def cond(state):
+        j, x, r, res = state
+        return (j < maxiter) & (res > tol)
+
+    def body(state):
+        j, x, r, res = state
+        x = x + omega * precondition(r)
+        r = b - A(x)
+        return j + 1, x, r, _norm(r)
+
+    j, x, r, res = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), x0, r0, beta))
+    return FGMRESResult(x=x, iterations=j, residual=res / jnp.where(
+        beta == 0, 1, beta), converged=res <= tol)
+
+
+def chebyshev_solve(A: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+                    precondition: Callable, lambda_min: float,
+                    lambda_max: float, maxiter: int = 100,
+                    abstol: float = 1e-30,
+                    reltol: float = 1e-8) -> FGMRESResult:
+    """Chebyshev-accelerated preconditioned iteration for spec(P A) within
+    [lambda_min, lambda_max] (real, positive — the STMG-preconditioned
+    operator's eigenvalues cluster in [1 - rho, 1]; estimate rho with
+    `estimate_error_propagator_radius`).  Same step cost as Richardson
+    (matvec + V-cycle + axpys, no Krylov basis) but the error bound improves
+    from rho to ~rho / (1 + sqrt(1 - rho^2)) per step.  True-residual
+    convergence check each step; deal.II-style first-kind recurrence
+    (PreconditionChebyshev), generalized to a nonzero initial guess by
+    iterating on the correction."""
+    theta = (lambda_max + lambda_min) / 2.0
+    delta = jnp.maximum((lambda_max - lambda_min) / 2.0, 1e-30)
+    r0 = b - A(x0)
+    beta = _norm(r0)
+    tol = jnp.maximum(abstol, reltol * beta)
+
+    # first step: e_1 = P r0 / theta
+    e = precondition(r0) * (1.0 / theta)
+    x = x0 + e
+    r = b - A(x)
+    res = _norm(r)
+
+    def cond(state):
+        j, x, e, r, res, rhok = state
+        return (j < maxiter) & (res > tol)
+
+    def body(state):
+        # e carries the PREVIOUS increment (deal.II's `update` vector):
+        # e_{k+1} = rho_{k+1} rho_k e_k + (2 rho_{k+1}/delta) P r_k
+        j, x, e, r, res, rhok = state
+        sigma = 2.0 * theta / delta
+        rho_new = 1.0 / (sigma - rhok)
+        factor1 = rho_new * rhok
+        factor2 = 2.0 * rho_new / delta
+        e_new = factor1 * e + factor2 * precondition(r)
+        x = x + e_new
+        r = b - A(x)
+        return (j + 1, x, e_new, r, _norm(r), rho_new)
+
+    state = (jnp.asarray(1, jnp.int32), x, e, r, res,
+             jnp.asarray(delta / theta, b.dtype))
+    j, x, _, r, res, _ = jax.lax.while_loop(cond, body, state)
+    return FGMRESResult(x=x, iterations=j, residual=res / jnp.where(
+        beta == 0, 1, beta), converged=res <= tol)
+
+
+def estimate_error_propagator_radius(A: Callable, precondition: Callable,
+                                     v0: jnp.ndarray,
+                                     n_iterations: int = 15) -> float:
+    """Spectral-radius estimate of E = I - P A (the preconditioned error
+    propagator) by power iteration: rho(E) bounds the Richardson contraction
+    and gives the Chebyshev interval [1 - rho, 1 + rho] for spec(P A)."""
+    def body(_, carry):
+        v, lam = carry
+        w = v - precondition(A(v))
+        lam = jnp.abs(_vdot(v, w))
+        return w / _norm(w), lam
+
+    v = v0 / _norm(v0)
+    _, lam = jax.lax.fori_loop(0, n_iterations, body,
+                               (v, jnp.zeros((), v0.dtype)))
+    return lam
+
+
 def gmres_fixed_left(A: Callable, b: jnp.ndarray, precondition: Callable,
                      n_iter: int) -> jnp.ndarray:
     """Left-preconditioned GMRES with exactly n_iter iterations, zero initial

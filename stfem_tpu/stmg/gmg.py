@@ -91,6 +91,12 @@ class GMGParams:
     # outer-Krylov-wrapped use where the fine-level post-smooth is ~half the
     # V-cycle cost and the Krylov method absorbs the weaker cycle.
     no_post_smooth: bool = False
+    # V(k,0) on the FINEST level only: the finest post-smooth is the single
+    # most expensive smoother application in the cycle (its level holds
+    # ~7/8 of all dofs), while coarse-level post-smoothing is nearly free
+    # and keeps the cycle quality; a middle ground between the full cycle
+    # and no_post_smooth
+    no_post_smooth_finest: bool = False
     # Run the WHOLE V-cycle in bfloat16 (level operators, Vanka down/up
     # matmuls, transfers): halves the HBM traffic of the grid-sumfac
     # temporaries, which bound the fine-level cost.  The Vanka time-solve
@@ -200,6 +206,8 @@ class GMG:
     def _post_smooth(self, level: int, u, rhs):
         lvl = self.levels[level]
         if self.params.no_post_smooth:
+            return u
+        if self.params.no_post_smooth_finest and level == self.max_level:
             return u
         if self.params.skip_identity_levels and \
                 isinstance(lvl.smoother, IdentitySmoother):

@@ -155,3 +155,62 @@ def test_right_preconditioned_gmres_matches_fgmres():
     np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
                                rtol=0, atol=1e-8 * float(
                                    jnp.max(jnp.abs(r1.x))))
+
+
+def test_richardson_and_chebyshev_outer_solvers():
+    """Glue-free outer iterations (preconditioned Richardson and Chebyshev
+    over the STMG V-cycle) must reach the same solution as FGMRES at the
+    same tolerance, with Chebyshev needing no more steps than Richardson
+    (the acceleration can only help on a real positive spectrum)."""
+    import jax.numpy as jnp
+    from stfem_tpu.krylov import (chebyshev_solve,
+                                  estimate_error_propagator_radius, fgmres,
+                                  richardson_solve)
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.stmg.gmg import GMGParams, build_stmg
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights
+
+    mesh = StructuredMesh([2, 2], [0, 0], [1, 1], refinement=2)
+    K = LaplaceMassOperator(mesh, 2, 3, 0.0, 1.0, dtype=jnp.float64)
+    M = LaplaceMassOperator(mesh, 2, 3, 1.0, 0.0, dtype=jnp.float64)
+    a, b, _, _ = get_fe_time_weights(TimeStepType.DG, 1, 1 / 16, 4)
+    matrix = SystemMatrix(K, M, a, b)
+    gmg = build_stmg(mesh, 1, 2, TimeStepType.DG, 4, 1 / 16,
+                     dtype=jnp.float64, fe_degree_min=1,
+                     params=GMGParams(smoothing_steps=1,
+                                      smoother_inner_iterations=2,
+                                      skip_identity_levels=True,
+                                      coarse_grid_smoother_type="Direct"))
+    rng = np.random.default_rng(0)
+    rhs = matrix.vmult(jnp.asarray(
+        rng.standard_normal((8,) + mesh.dof_shape(2))) * K.mask[None])
+    x0 = jnp.zeros_like(rhs)
+
+    ref = fgmres(matrix.vmult, rhs, x0, precondition=gmg.vmult,
+                 maxiter=60, abstol=1e-30, reltol=1e-10)
+    assert bool(ref.converged)
+
+    rho = float(estimate_error_propagator_radius(
+        matrix.vmult, gmg.vmult,
+        jnp.asarray(rng.standard_normal(rhs.shape)) * K.mask[None]))
+    assert 0.0 < rho < 1.0          # the V-cycle must be contractive here
+
+    rich = richardson_solve(matrix.vmult, rhs, x0, gmg.vmult, omega=1.0,
+                            maxiter=400, abstol=1e-30, reltol=1e-10)
+    assert bool(rich.converged)
+    scale = float(jnp.max(jnp.abs(ref.x)))
+    np.testing.assert_allclose(np.asarray(rich.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-8 * scale)
+
+    cheb = chebyshev_solve(matrix.vmult, rhs, x0, gmg.vmult,
+                           lambda_min=1.0 - 1.05 * rho,
+                           lambda_max=1.0 + 1.05 * rho,
+                           maxiter=400, abstol=1e-30, reltol=1e-10)
+    assert bool(cheb.converged)
+    np.testing.assert_allclose(np.asarray(cheb.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-8 * scale)
+    # with a strong V-cycle (rho << 1) acceleration is marginal and the
+    # 1.05x interval slack can cost one step; allow it
+    assert int(cheb.iterations) <= int(rich.iterations) + 1
