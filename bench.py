@@ -18,9 +18,11 @@ vs_baseline compares against the reference's >1e9 DoF/s cluster figure
 (Readme.md:3) -- i.e. vs_baseline = value / 1e9.
 
 Round-2 measured ladder (this chip): 8^3 f32 41.0 MDoF/s at 8 avg iters
-(round 1: 23.8 at 14 iters, true residual only 4e-6); 8^3 true-1e-8 17.6;
-16^3 f32 23.7 at 9 avg iters (round 1: 3.66 at 29 iters); 16^3 true-1e-8
-~9.7.  Iteration counts are h-FLAT (8 -> 9 over 8^3 -> 16^3).
+(round 1: 23.8 at 14 iters, true residual only 4e-6); 16^3 f32 53.8
+(round 1: 3.66 at 29 iters); 16^3 true-1e-8 progression 9.7 (f64 stepwise
+IR) -> 40.7 (float-float IR) -> 44.0 (single-pass CGS) -> 67.3 MDoF/s
+(glue-free Richardson outer, 9 total V-cycle steps, true rel residual
+4.2e-9).  Iteration counts are h-FLAT (8 -> 9 over 8^3 -> 16^3).
 
 Env knobs: STFEM_BENCH_CELLS (cells per axis, default 16),
 STFEM_BENCH_SLABS (timed slab solves, default 10), STFEM_BENCH_NTAO
@@ -267,7 +269,12 @@ def main():
     # preconditioned Arnoldi vectors lose most of their mass to the
     # projection every iteration (that IS fast convergence), so the DGKS
     # criterion always fires; keep plain CGS2 as the default
-    _reorth_env = os.environ.get("STFEM_BENCH_REORTH", "1")
+    # under IR the untimed true-residual verify gates `converged`, so the
+    # cheaper single-pass CGS is safe (measured 40.7 -> 44.0 MDoF/s at 16^3
+    # true-1e-8, identical verified residuals); the ungated f32-only mode
+    # keeps CGS2
+    _reorth_env = os.environ.get("STFEM_BENCH_REORTH",
+                                 "0" if use_ir else "1")
     reorth = (_reorth_env if _reorth_env in ("selective", "gram")
               else _reorth_env == "1")
     vbf16 = jnp.bfloat16 if os.environ.get(
@@ -291,7 +298,16 @@ def main():
     # traffic / Gram-Schmidt / Givens at all.  Chebyshev needs spectral
     # bounds for P A: rho(I - P A) estimated by power iteration at setup
     # (untimed), spectrum taken as [1 - 1.05 rho, 1 + 1.05 rho].
-    outer = os.environ.get("STFEM_BENCH_OUTER", "fgmres")
+    # IR-mode default: glue-free preconditioned Richardson.  Measured at
+    # 16^3 true-1e-8: the V-cycle contracts ~10x/step early on (lab:
+    # 1 -> 0.38 -> 0.017 -> 1e-3 -> 7e-5 -> 1.2e-5), so the first solve
+    # reaches the f32 floor in 5 steps and each step costs only
+    # matvec + V-cycle (~31 ms) vs FGMRES's ~58 ms with the Krylov glue:
+    # 44.0 -> 67.3 MDoF/s.  Correctness is gated by the untimed IR
+    # true-residual verify (4.2e-9 measured).  The f32-only mode keeps
+    # FGMRES (its Givens estimate is the only stopping signal there).
+    outer = os.environ.get("STFEM_BENCH_OUTER",
+                           "richardson" if use_ir else "fgmres")
     cheb_interval = None
     glue_free_maxiter = int(os.environ.get("STFEM_BENCH_MAXITER", "40"))
 
