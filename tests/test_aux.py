@@ -1,6 +1,7 @@
 """Aux subsystems: time-only multigrid (the transfer_01 analogue), campaign
 generation, 3D heat convergence, timers."""
 import numpy as np
+import pytest
 
 from stfem_tpu.drivers.heat import run_heat_cycle, stmg_preconditioner_factory
 from stfem_tpu.types import CoarseningType, TimeStepType
@@ -24,6 +25,7 @@ def test_time_only_multigrid():
     assert res.l2_l2 < 2e-2
 
 
+@pytest.mark.slow
 def test_heat_3d_converges():
     """3D heat with the full STMG preconditioner."""
     factory = stmg_preconditioner_factory(fe_degree_min=1)
@@ -157,6 +159,7 @@ def test_right_preconditioned_gmres_matches_fgmres():
                                    jnp.max(jnp.abs(r1.x))))
 
 
+@pytest.mark.slow
 def test_richardson_and_chebyshev_outer_solvers():
     """Glue-free outer iterations (preconditioned Richardson and Chebyshev
     over the STMG V-cycle) must reach the same solution as FGMRES at the

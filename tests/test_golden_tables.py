@@ -22,6 +22,10 @@ import pytest
 
 from golden_tables import parse_golden
 
+# the golden tier takes ~18 min on a 1-core host; excluded from the default
+# selection (pytest.ini addopts), run explicitly with `pytest -m golden`
+pytestmark = pytest.mark.golden
+
 REF_JSON = os.environ.get("STFEM_TESTDIR", "/root/reference/tests/json")
 TP01_GOLDEN = "/root/reference/tests/tp_01.output"
 TP03_GOLDEN = "/root/reference/tests/tp_03stokes.output"

@@ -187,6 +187,7 @@ def test_two_level_mesh():
     assert arr.addressable_shards[0].data.shape == (2, 2, 2)
 
 
+@pytest.mark.slow
 def test_sharded_stmg_solve_parity():
     """FULL STMG-preconditioned FGMRES slab solve under GSPMD sharding on an
     8-device mesh equals the single-device solve (the multi-chip execution

@@ -59,6 +59,7 @@ def test_heat_cgp2_errors_match_golden():
     assert res.n_blocks == 4
 
 
+@pytest.mark.slow
 def test_wave_cgp2_converges():
     """tf06-style: wave CGP(2), 4 steps at once."""
     r2 = run_heat_cycle(refinement=2, fe_degree=2, type_=TimeStepType.CGP,

@@ -18,6 +18,7 @@ def bump(coords):
     return np.nan_to_num(v)
 
 
+@pytest.mark.slow
 def test_heat_distorted_mesh_iterations():
     res = run_heat_cycle(
         refinement=3, fe_degree=1, type_=TimeStepType.DG,

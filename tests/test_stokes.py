@@ -45,6 +45,7 @@ def test_stokes_dg1_golden(ref):
     assert res.avg_iterations <= g["iters"] + 2
 
 
+@pytest.mark.slow
 def test_stokes_cgp_converges():
     r1 = run_stokes_cycle(refinement=1, fe_degree=1, type_=TimeStepType.CGP,
                           preconditioner_factory=stokes_factory,
@@ -56,6 +57,7 @@ def test_stokes_cgp_converges():
     assert r2.avg_iterations <= 16
 
 
+@pytest.mark.slow
 def test_stokes_nitsche_stmg():
     """Weak (Nitsche) boundaries: golden-order convergence with O(10) iters."""
     import numpy as np
@@ -78,6 +80,7 @@ def test_stokes_nitsche_stmg():
     assert np.log2(r1.l2_l2_u / r2.l2_l2_u) > 2.0
 
 
+@pytest.mark.slow
 def test_lid_driven_cavity():
     from stfem_tpu.drivers.stokes import run_lid_driven
 
@@ -100,6 +103,7 @@ def test_lid_driven_cavity():
     assert np.max(np.abs(u[1])) > 1e-3
 
 
+@pytest.mark.slow
 def test_tp03stokes_practical_mode(tmp_path):
     """Practical Stokes config path (tf05stokes-style lid cavity,
     spaceTimeConvergenceTest=false): driver dispatches to the lid app and
@@ -153,6 +157,7 @@ def test_wall_force_exact():
     np.testing.assert_allclose(F, [c, -0.7 * a], atol=1e-12)
 
 
+@pytest.mark.slow
 def test_navier_stokes_extrapolation_predictor():
     """The nonlinear extrapolation matrices drive the Picard predictor
     (reference extrapolate_nonlinear, fe_time.h:1223-1240; VERDICT r1:
@@ -202,6 +207,7 @@ def test_lid_driven_strong_vs_nitsche():
     assert np.linalg.norm(un[inner]) < 1e-8  # undriven interior
 
 
+@pytest.mark.slow
 def test_navier_stokes_picard():
     """Convection-enabled (Oseen/Picard) solve reproduces the manufactured
     Navier-Stokes solution at the Stokes convergence order."""
@@ -218,6 +224,7 @@ def test_navier_stokes_picard():
     assert r2.avg_iterations <= 20
 
 
+@pytest.mark.slow
 def test_dfg_square_channel():
     """dfgBenchmarkSquare: non-uniform tensor channel with the obstacle cell
     removed; weak DFG inflow, weak no-slip walls, do-nothing outflow."""
@@ -253,6 +260,7 @@ def test_dfg_square_channel():
     assert out["divergence"][-1] < 0.05
 
 
+@pytest.mark.slow
 def test_dfg_weak_obstacle():
     """Nitsche on the obstacle faces (VERDICT r1 missing #6 / next #9;
     reference operators.h:1658-1751 applies its weak boundary terms on the
@@ -493,6 +501,7 @@ def test_dfg_cylinder_geometry():
             mc.geometry(3, 2)
 
 
+@pytest.mark.slow
 def test_dfg_cylinder_channel():
     """Flow around the cylinder (DFG benchmark geometry) end-to-end with the
     STMG preconditioner: curved-geometry drag/lift stays finite, divergence
@@ -517,6 +526,7 @@ def test_dfg_cylinder_channel():
     assert 0.0 < out["drag_lift"][-1][0] < 50.0
 
 
+@pytest.mark.slow
 def test_feq_pressure_stmg():
     """Taylor-Hood (FE_Q continuous pressure) STMG: Vanka patches with
     neighbor-assembled u-p coupling + nodal pressure transfers + Nitsche
