@@ -65,7 +65,19 @@ class GMGParams:
     # NOTE: iteration counts match the reference's goldens only to +-1-2
     # because the estimate depends on dof ORDER through the deterministic
     # start vector (lexicographic here vs deal.II's hierarchical numbering).
+    # POWER MODE ONLY -- the default arnoldi mode (below) replaces both the
+    # estimate and the safety factor.
     eig_safety_factor: float = 1.2
+    # order-invariant eigenvalue estimation (round-3 parity fix): use a
+    # CONVERGED Arnoldi lambda_max instead of the 20-step power iteration
+    # wherever feasible (host-side estimates up to eig_exact_max_n total
+    # unknowns, incl. proxy-mesh estimates).  Measured to restore the
+    # reference's golden iteration counts to +-1 (tf01 refs 2-3: 7/8 vs
+    # goldens 7/9, was 9/9 -- scripts/eig_parity_lab.py); the power
+    # estimate depends on dof ORDER through its start vector (VERDICT r2
+    # #4).  False = deal.II-faithful 20-step power + 1.2 safety.
+    eig_exact: bool = True
+    eig_exact_max_n: int = 4_000_000
     # store Vanka patch factors in bfloat16 (zero measured iteration cost,
     # half the smoother memory/bandwidth on TPU)
     vanka_bf16: bool = False
@@ -278,7 +290,8 @@ def _eig_cache_path():
 
 
 def _cached_estimate(m_est, v_est, est_shape, est_mask, est_dtype,
-                     n_iterations, safety_factor, device=None):
+                     n_iterations, safety_factor, device=None,
+                     method="power"):
     """estimate_eigenvalues with a repo-local disk memo.
 
     The power iteration is deterministic (fixed start vector), so the
@@ -301,7 +314,7 @@ def _cached_estimate(m_est, v_est, est_shape, est_mask, est_dtype,
     if not cacheable:
         return estimate_eigenvalues(m_est, v_est, est_shape, est_mask,
                                     est_dtype, n_iterations, safety_factor,
-                                    device=device)
+                                    device=device, method=method)
     import hashlib
     import json
     import os
@@ -318,6 +331,7 @@ def _cached_estimate(m_est, v_est, est_shape, est_mask, est_dtype,
                      int(n_iterations), float(safety_factor),
                      int(getattr(v_est, "n_steps", 1)),
                      str(getattr(v_est, "dtype", "")),
+                     str(method),
                      )).encode())
     key = hsh.hexdigest()
     cache = {}
@@ -331,7 +345,7 @@ def _cached_estimate(m_est, v_est, est_shape, est_mask, est_dtype,
         return EigInfo(min_eigenvalue=mn, max_eigenvalue=mx)
     info = estimate_eigenvalues(m_est, v_est, est_shape, est_mask,
                                 est_dtype, n_iterations, safety_factor,
-                                device=device)
+                                device=device, method=method)
     if np.isfinite(info.max_eigenvalue) and info.max_eigenvalue > 0:
         cache[key] = [float(info.min_eigenvalue),
                       float(info.max_eigenvalue)]
@@ -519,8 +533,37 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                                 _os.environ["STFEM_PALLAS_GRID"] = _old_pg
                         est_shape = (n_blocks,) + tuple(pm.dof_shape(deg_l))
                         est_mask = Kp_.mask_np
+                        # shrink the proxy in TIME too: lambda_max(P A) is
+                        # S-independent (block-bidiagonal with identical
+                        # per-step blocks; measured 1.72531/1.72564/1.72560
+                        # at S=1/2/4), so a 2-step proxy reproduces the
+                        # estimate at a fraction of the sweep cost -- the
+                        # S=32 proxy was the dominant 16^3 setup term
+                        struct_p = SystemMatrix._detect_step_structure(
+                            np.asarray(Alpha_l), np.asarray(Beta_l))
+                        if struct_p is not None and n_at_once[l] > 2:
+                            nt_p, A0p, A1p, B0p, B1p = struct_p
+                            A2 = np.zeros((2 * nt_p, 2 * nt_p))
+                            B2 = np.zeros((2 * nt_p, 2 * nt_p))
+                            A2[:nt_p, :nt_p] = A0p
+                            A2[nt_p:, nt_p:] = A0p
+                            A2[nt_p:, :nt_p] = A1p
+                            B2[:nt_p, :nt_p] = B0p
+                            B2[nt_p:, nt_p:] = B0p
+                            B2[nt_p:, :nt_p] = B1p
+                            m_est = SystemMatrix(Kp_, Mp_, A2, B2,
+                                                 precision=None)
+                            v_est = PreconditionVanka(
+                                Kp_, Mp_, A2, B2, dtype=dtype,
+                                storage_dtype=(jnp.bfloat16
+                                               if params.vanka_bf16
+                                               else None), n_steps=2)
+                            est_shape = (2 * nt_p,) + tuple(
+                                pm.dof_shape(deg_l))
                     n_sp = int(np.prod(est_shape[1:]))
-                    if eig_device is not None and n_sp >= eig_device_min_dofs:
+                    use_dev = (eig_device is not None
+                               and n_sp >= eig_device_min_dofs)
+                    if use_dev:
                         import jax as _jax
                         m_est, v_est = _jax.device_put((m_est, v_est),
                                                        eig_device)
@@ -528,12 +571,26 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     # the estimate runs on an f32 probe (the bf16 level ops
                     # promote, so temps stay f32 inside the estimate)
                     est_dtype = (jnp.float32 if params.level_bf16 else dtype)
+                    # order-invariant converged Arnoldi for small/proxy
+                    # estimates; deal.II power elsewhere.  With an
+                    # accelerator available the ARPACK matvecs run there
+                    # (host sweeps at proxy size were the 16^3 setup
+                    # bottleneck).
+                    eig_method = ("arnoldi" if params.eig_exact
+                                  and int(np.prod(est_shape))
+                                  <= params.eig_exact_max_n else "power")
+                    # arnoldi sweeps run host-side (2-step proxies are
+                    # small; remote per-level jit compiles cost more than
+                    # they save); the accelerator is used for big POWER
+                    # estimates only
+                    est_device = ((eig_device if use_dev else None)
+                                  if eig_method != "arnoldi" else None)
                     info = _cached_estimate(
                         m_est, v_est, est_shape, est_mask, est_dtype,
                         params.smoothing_eig_cg_n_iterations,
                         params.eig_safety_factor,
-                        device=(eig_device if n_sp >= eig_device_min_dofs
-                                else None))
+                        device=est_device,
+                        method=eig_method)
                     if not np.isfinite(info.max_eigenvalue) or \
                             info.max_eigenvalue <= 0:
                         info = None
@@ -742,10 +799,15 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
             if np.sum(S.mask_u_np) == 0:
                 info = None
             else:
+                # Stokes keeps the deal.II power estimate: the saddle-point
+                # P A spectrum is complex-valued and the heat-calibrated
+                # "converged |lambda|, no safety factor" rule over-relaxes
+                # (measured: tf01stokes ref 1 regressed 12 -> 16 iters vs
+                # golden 12 under arnoldi; power matches/undershoots golden)
                 info = estimate_eigenvalues(
                     matrix, vanka, (T_l, S.n_u + S.n_p), flat_mask, dtype,
                     params.smoothing_eig_cg_n_iterations,
-                    params.eig_safety_factor)
+                    params.eig_safety_factor, method="power")
                 if not np.isfinite(info.max_eigenvalue) or \
                         info.max_eigenvalue <= 0:
                     info = None

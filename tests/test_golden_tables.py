@@ -40,7 +40,11 @@ TP03_CONFIGS = ["tf01stokes", "tf02stokes"]
 # quadrature nuance, tracked in STATUS.md)
 ERR_RTOL = 5e-4
 RATE_ATOL = 0.02
-ITER_ATOL = 2.55
+# one-sided golden + 1.05 (round 3: order-invariant Arnoldi eigenvalue
+# estimates brought the coarsest-refinement counts from golden+2 to +-1 --
+# VERDICT r2 #4; Stokes still runs BELOW golden, which the one-sided
+# bound allows)
+ITER_ATOL = 1.05
 
 
 def _tp01_cases():

@@ -1,9 +1,9 @@
 """STMG preconditioner integration tests: mesh-independent O(10) FGMRES
 iteration counts and golden-exact errors for heat and wave.
 
-Iteration-count parity with the reference goldens (7/9 for heat DG(1)) is
-within +-2: the relaxation estimate depends on dof ordering through the
-deterministic power-iteration start vector (see GMGParams docstring)."""
+Iteration-count parity with the reference goldens (7/9 for heat DG(1) refs
+2/3) is within +-1 since the order-invariant Arnoldi eigenvalue estimates
+(GMGParams.eig_exact, round 3); bounds here are golden + 1.05."""
 import pytest
 
 from stfem_tpu.drivers.heat import run_heat_cycle, stmg_preconditioner_factory
@@ -13,7 +13,7 @@ from stfem_tpu.types import ProblemType, TimeStepType
 GOLDEN_DG1 = {2: 1.78760e-02, 3: 3.24200e-03}
 
 
-@pytest.mark.parametrize("ref,max_avg", [(2, 9.5), (3, 12.5)])
+@pytest.mark.parametrize("ref,max_avg", [(2, 8.05), (3, 10.05)])
 def test_heat_stmg_iterations(ref, max_avg):
     res = run_heat_cycle(
         refinement=ref, fe_degree=1, type_=TimeStepType.DG,
