@@ -147,8 +147,17 @@ class KronAssembledFF:
             A1 = np.asarray(kron64.A1[d], np.float64)
             self.Md.append(ff_from_f64(_to_diags(M1, self.k)))
             self.Ad.append(ff_from_f64(_to_diags(A1, self.k)))
+        # stacked per-axis factors for the fused Pallas kernel (cubic 3D)
+        from .pallas_ffresid import supports as _pf_supports
+        nds = [int(self.Md[d][0].shape[1]) for d in range(self.dim)]
+        self._pallas_ok = _pf_supports(self.dim, nds)
+        if self._pallas_ok:
+            self._Dmh = jnp.stack([self.Md[d][0] for d in range(3)])
+            self._Dml = jnp.stack([self.Md[d][1] for d in range(3)])
+            self._Dah = jnp.stack([self.Ad[d][0] for d in range(3)])
+            self._Dal = jnp.stack([self.Ad[d][1] for d in range(3)])
 
-    def pair(self, xff, need_K: bool = True, need_M: bool = True):
+    def _pair_xla(self, xff, need_K: bool = True, need_M: bool = True):
         dim, k = self.dim, self.k
         lead = xff[0].ndim - dim
         val = xff
@@ -163,6 +172,49 @@ class KronAssembledFF:
             if need_M or (need_K and d < dim - 1):
                 val = _ff_banded_axis_apply(self.Md[d], val, ax, k)
         return (ks if need_K else None), (val if need_M else None)
+
+    def pair(self, xff, need_K: bool = True, need_M: bool = True):
+        """(K x, M x) in ff.  On TPU, cubic 3D grids route through the
+        fused Pallas kernel (ops/pallas_ffresid.py -- one VMEM-resident
+        block per grid step instead of HBM-materialized ff temporaries);
+        CPU and non-cubic shapes keep the XLA form (the parity oracle).
+        STFEM_PALLAS_FF=0 forces XLA everywhere."""
+        import os
+
+        import jax as _jax
+
+        hi, lo = xff
+        # default OFF: the fused kernel is numerically exact (interpret
+        # parity ~1e-15) but its Mosaic compile is pathological on the
+        # current toolchain (>10 min for the 63-roll ff chain; compile
+        # time grows superlinearly in the chain length -- measured 25 s
+        # for 1 banded apply, 173 s for 2).  STFEM_PALLAS_FF=1 opts in.
+        if not (need_K and need_M and self._pallas_ok
+                and hi.ndim >= self.dim
+                and os.environ.get("STFEM_PALLAS_FF", "0") == "1"):
+            return self._pair_xla(xff, need_K, need_M)
+        from .pallas_ffresid import kron_pair_ff_pallas
+        n = int(self.Md[0][0].shape[1])
+        lead_shape = hi.shape[:-3]
+        B = int(np.prod(lead_shape)) if lead_shape else 1
+        xh = hi.reshape(B, n, n, n)
+        xl = lo.reshape(B, n, n, n)
+
+        def _tpu(ops):
+            xh_, xl_ = ops
+            return kron_pair_ff_pallas(xh_, xl_, self._Dmh, self._Dml,
+                                       self._Dah, self._Dal, self.k)
+
+        def _default(ops):
+            xh_, xl_ = ops
+            (kh, kl), (mh, ml) = self._pair_xla((xh_, xl_), True, True)
+            return kh, kl, mh, ml
+
+        Kh, Kl, Mh, Ml = _jax.lax.platform_dependent(
+            (xh, xl), tpu=_tpu, default=_default)
+        rs = lead_shape + (n, n, n)
+        return ((Kh.reshape(rs), Kl.reshape(rs)),
+                (Mh.reshape(rs), Ml.reshape(rs)))
 
 
 def ff_mix(table_ff, xff, pattern=None):
@@ -253,10 +305,21 @@ class FFSlabResidual:
         lo = fslab_ff[1].at[: self.nt].set(head[1])
         return hi, lo
 
-    def residual(self, prev_ff, x_ff, fslab_ff):
+    # whole-slab/stepwise switch: above this many step-slab elements
+    # (nt+1) * S * space_dofs the batched form's f32-pair temporaries
+    # threaten HBM and the lax.scan form is used instead.  The batched
+    # form evaluates ALL steps in one fused pass -- the 32-step scan
+    # serialized tiny (~0.3 ms of VPU work) steps and measured 79 ms at
+    # the 16^3 bench shape vs ~9 ms VPU-bound (vcycle_decompose_lab).
+    SLAB_BATCH_MAX_ELEMS = 100_000_000
+
+    def residual(self, prev_ff, x_ff, fslab_ff, mode: str = "auto"):
         """r = rhs - A_slab x in ff; returns ((r_hi, r_lo), ||r||, ||rhs||)
         with f32 norms (tree-reduction accuracy ~1e-6 relative -- plenty
-        for IR scaling and the 1e-8 verification)."""
+        for IR scaling and the 1e-8 verification).  mode: "auto" picks the
+        batched whole-slab form unless its temporaries exceed
+        SLAB_BATCH_MAX_ELEMS; "slab"/"step" force."""
+        import os as _os
         import jax as _jax
         import jax.numpy as _jnp
 
@@ -274,15 +337,65 @@ class FFSlabResidual:
         rh = rhs_hi.reshape(sshape)
         rl = rhs_lo.reshape(sshape)
 
-        def body(carry, inp):
-            xih, xil, rhi, rli = inp
-            r = ff_system_residual_step(self.kron, self.mask, self.A_ff,
-                                        self.B_ff, (rhi, rli), (xih, xil),
-                                        self.A_nz, self.B_nz)
-            return carry, r
+        mode = _os.environ.get("STFEM_FF_RESID_MODE", mode)
+        if mode == "auto":
+            # MEASURED (16^3 bench shape, r3): the per-step scan wins --
+            # 78 ms vs 216 (whole-slab batch) / 167 (chunk4) / 196
+            # (chunk8); the batched forms materialize their big ff
+            # temporaries through HBM, and on XLA:CPU the fused slab graph
+            # also compiles pathologically slowly.  Keep "step".
+            mode = "step"
+        if mode == "slab":
+            # ALL steps at once: move the block axis first ([nt+1, S, *dof])
+            # so ff_mix/kron.pair batch over the S axis for free
+            xb = (_jnp.swapaxes(xin_h, 0, 1), _jnp.swapaxes(xin_l, 0, 1))
+            rb = (_jnp.swapaxes(rh, 0, 1), _jnp.swapaxes(rl, 0, 1))
+            out_h, out_l = ff_system_residual_step(
+                self.kron, self.mask, self.A_ff, self.B_ff, rb, xb,
+                self.A_nz, self.B_nz)
+            out_h = _jnp.swapaxes(out_h, 0, 1)
+            out_l = _jnp.swapaxes(out_l, 0, 1)
+        elif mode.startswith("chunk"):
+            ch = int(mode[5:] or "8")
+            ns = sshape[0]
+            assert ns % ch == 0, (ns, ch)
 
-        _, (out_h, out_l) = _jax.lax.scan(body, None,
-                                          (xin_h, xin_l, rh, rl))
+            def cshape(a):
+                return a.reshape((ns // ch, ch) + a.shape[1:])
+
+            def body(carry, inp):
+                xih, xil, rhi, rli = inp
+                # batched chunk: block axis first [nt+1, ch, *dof]
+                r = ff_system_residual_step(
+                    self.kron, self.mask, self.A_ff, self.B_ff,
+                    (_jnp.swapaxes(rhi, 0, 1), _jnp.swapaxes(rli, 0, 1)),
+                    (_jnp.swapaxes(xih, 0, 1), _jnp.swapaxes(xil, 0, 1)),
+                    self.A_nz, self.B_nz)
+                return carry, (_jnp.swapaxes(r[0], 0, 1),
+                               _jnp.swapaxes(r[1], 0, 1))
+
+            _, (out_h, out_l) = _jax.lax.scan(
+                body, None, (cshape(xin_h), cshape(xin_l), cshape(rh),
+                             cshape(rl)))
+            out_h = out_h.reshape(sshape)
+            out_l = out_l.reshape(sshape)
+        elif mode == "unroll":
+            outs = [ff_system_residual_step(
+                self.kron, self.mask, self.A_ff, self.B_ff,
+                (rh[s], rl[s]), (xin_h[s], xin_l[s]),
+                self.A_nz, self.B_nz) for s in range(sshape[0])]
+            out_h = _jnp.stack([o[0] for o in outs])
+            out_l = _jnp.stack([o[1] for o in outs])
+        else:
+            def body(carry, inp):
+                xih, xil, rhi, rli = inp
+                r = ff_system_residual_step(
+                    self.kron, self.mask, self.A_ff, self.B_ff,
+                    (rhi, rli), (xih, xil), self.A_nz, self.B_nz)
+                return carry, r
+
+            _, (out_h, out_l) = _jax.lax.scan(body, None,
+                                              (xin_h, xin_l, rh, rl))
         r_hi = out_h.reshape(x_ff[0].shape)
         r_lo = out_l.reshape(x_ff[0].shape)
         rnorm = _jnp.linalg.norm(r_hi.reshape(-1))

@@ -24,12 +24,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def spatial_mesh(n_devices: int | None = None, dim: int = 2,
-                 devices=None) -> Mesh:
-    """Device mesh over up to two spatial axes ('x', 'y').
+                 devices=None, shard_z: bool = False) -> Mesh:
+    """Device mesh over the spatial axes.
 
-    For dim >= 2 the mesh is near-square over (x, y); 1D problems shard x
-    only.  The z axis (3D) stays unsharded by default: two sharded axes
-    already expose all ICI links on current pod slices.
+    For dim >= 2 the default is a near-square 2-axis mesh over (x, y) --
+    two sharded axes already expose all ICI links on current pod slices.
+    shard_z=True (3D) factors the devices over THREE axes (x, y, z) as
+    near-cubic as possible, matching a 3D-torus slice where each mesh axis
+    rides its own ICI dimension; 1D problems shard x only.
     """
     if devices is None:
         devices = jax.devices()
@@ -38,6 +40,17 @@ def spatial_mesh(n_devices: int | None = None, dim: int = 2,
     devices = devices[:n_devices]
     if dim == 1:
         return Mesh(np.array(devices), ("x",))
+    if dim >= 3 and shard_z:
+        # factor n_devices = a*b*c as near-cubic as possible
+        a = int(np.floor(n_devices ** (1.0 / 3.0)))
+        while n_devices % a:
+            a -= 1
+        rem = n_devices // a
+        b = int(np.floor(np.sqrt(rem)))
+        while rem % b:
+            b -= 1
+        arr = np.array(devices).reshape(a, b, rem // b)
+        return Mesh(arr, ("x", "y", "z"))
     # factor n_devices = a*b as square as possible
     a = int(np.floor(np.sqrt(n_devices)))
     while n_devices % a:

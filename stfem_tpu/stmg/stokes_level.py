@@ -75,7 +75,7 @@ class StokesVanka:
 
     def __init__(self, stokes_op: StokesOperator,
                  mass_op: LaplaceMassOperator, Alpha_st, Beta_st,
-                 blk: BlockSlice, dtype=None):
+                 blk: BlockSlice, dtype=None, use_scan: bool = True):
         S = stokes_op
         self.S = S
         self.blk = blk
@@ -163,6 +163,45 @@ class StokesVanka:
         val_u = dof_valence(cells, k)
         vloc_np = val_u
 
+        # ---- multi-step scan factorization (round 3, the heat fastdiag
+        # time trick ported to Stokes): block indices are timestep-major,
+        # so when the slab tables are block-bidiagonal with IDENTICAL
+        # per-step diagonal blocks and a one-step coupling (verified
+        # numerically below -- true for the DG/CGP multi-step assembly,
+        # fe_time.h:381-402), the patch solve factorizes into per-STEP
+        # inverses B1inv [C, P1, P1] plus a sequential recurrence
+        # y_s = B1inv r_s - Kappa y_{s-1}, Kappa = B1inv (D Bcoup).
+        # Storage and setup drop from (S P1)^2 to ~2 P1^2 per cell (S^2 x),
+        # which is what makes ntao >= 8 Stokes slabs buildable at all.
+        self.n_steps = 1
+        nb_step = blk.n_variables * blk.n_timedofs
+        n_steps = blk.n_timesteps_at_once
+        A_np = Alpha_st
+        B_np = Beta_st
+        if use_scan and n_steps > 1 and n_blocks == n_steps * nb_step:
+            s0 = slice(0, nb_step)
+            s1 = slice(nb_step, 2 * nb_step)
+            A0s, B0s = A_np[s0, s0], B_np[s0, s0]
+            Acs, Bcs = A_np[s1, s0], B_np[s1, s0]
+            ok = True
+            for s in range(n_steps):
+                ss = slice(s * nb_step, (s + 1) * nb_step)
+                ok &= np.array_equal(A_np[ss, ss], A0s)
+                ok &= np.array_equal(B_np[ss, ss], B0s)
+                if s:
+                    sp = slice((s - 1) * nb_step, s * nb_step)
+                    ok &= np.array_equal(A_np[ss, sp], Acs)
+                    ok &= np.array_equal(B_np[ss, sp], Bcs)
+                for t in range(n_steps):
+                    if abs(s - t) > 1 or t > s:
+                        tt = slice(t * nb_step, (t + 1) * nb_step)
+                        ok &= not (np.any(A_np[ss, tt])
+                                   or np.any(B_np[ss, tt]))
+                if not ok:
+                    break
+            if ok:
+                self.n_steps = n_steps
+
         # one jitted program for the whole build (see vanka.py note)
         def build(lap_, mass_, S_, fidx, vloc, face_uu_, face_up_, face_pu_,
                   obs_uu_, obs_up_, obs_pu_):
@@ -199,26 +238,33 @@ class StokesVanka:
             if obs_uu_ is not None:
                 Kuu = Kuu + obs_uu_
             Muu = blockdiag_list([Muu_s.astype(dtype)] * dim)
-            B = jnp.zeros((C, P, P), dtype)
-            for i in range(n_blocks):
-                _, iv, _ = blk.decompose(i)
-                for j in range(n_blocks):
-                    _, jv, _ = blk.decompose(j)
-                    a = float(Alpha_st[i, j])
-                    b = float(Beta_st[i, j])
-                    if a == 0.0 and b == 0.0:
-                        continue
-                    if iv == 0 and jv == 0:
-                        sub = a * Kuu + b * Muu
-                    elif iv == 0 and jv == 1:
-                        sub = a * E_up
-                    elif iv == 1 and jv == 0:
-                        sub = a * E_pu
-                    else:
-                        continue  # p-p: no coupling (M_mask excludes it)
-                    r0, r1 = int(offs[i]), int(offs[i + 1])
-                    c0, c1 = int(offs[j]), int(offs[j + 1])
-                    B = B.at[:, r0:r1, c0:c1].add(sub)
+
+            def assemble(A_tab, B_tab, nb_rows, nb_cols):
+                """B_sub [C, P_r, P_c] over the (identically laid out)
+                row/col block lists; tables indexed locally."""
+                Pr, Pc = int(offs[nb_rows]), int(offs[nb_cols])
+                Bm = jnp.zeros((C, Pr, Pc), dtype)
+                for i in range(nb_rows):
+                    _, iv, _ = blk.decompose(i)
+                    for j in range(nb_cols):
+                        _, jv, _ = blk.decompose(j)
+                        a = float(A_tab[i, j])
+                        b = float(B_tab[i, j])
+                        if a == 0.0 and b == 0.0:
+                            continue
+                        if iv == 0 and jv == 0:
+                            sub = a * Kuu + b * Muu
+                        elif iv == 0 and jv == 1:
+                            sub = a * E_up
+                        elif iv == 1 and jv == 0:
+                            sub = a * E_pu
+                        else:
+                            continue  # p-p: no coupling
+                        r0, r1 = int(offs[i]), int(offs[i + 1])
+                        c0, c1 = int(offs[j]), int(offs[j + 1])
+                        Bm = Bm.at[:, r0:r1, c0:c1].add(sub)
+                return Bm
+
             # valence row scaling (u rows: spatial multiplicity; p rows:
             # 1 for cell-local DGP modes, dof multiplicity for FE_Q nodes)
             vl = cell_gather(vloc, cells, k).reshape(C, A_s)
@@ -227,37 +273,53 @@ class StokesVanka:
             else:
                 valp = jnp.asarray(dof_valence(cells, S_.p_degree), dtype)
                 vl_p = cell_gather(valp, cells, S_.p_degree).reshape(C, n_pl)
-            vrows = []
-            for i in range(n_blocks):
-                _, iv, _ = blk.decompose(i)
-                if iv == 0:
-                    vrows.append(jnp.concatenate([vl] * dim, axis=1))
-                else:
-                    vrows.append(vl_p)
-            vrows = jnp.concatenate(vrows, axis=1)
-            B = B * vrows[:, :, None]
-            # regularize fully-decoupled rows (degenerate coarse levels)
-            zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(dtype)
-            B = B + jax.vmap(jnp.diag)(zero_rows)
-            if S_.dg_pressure:
-                return jnp.linalg.inv(B)
-            # FE_Q: continuous-pressure patches can be SINGULAR (few free
-            # velocity dofs vs the cell's nodal pressure dofs on very coarse
-            # levels); the pseudo-inverse drops those directions instead of
-            # blowing up -- the additive updates from neighboring patches
-            # and coarser levels cover them
-            return jnp.linalg.pinv(B, rtol=1e-6)
 
-        self.Binv = jax.jit(build)(lap, mass, S, flat_idx,
-                                   jnp.asarray(vloc_np, dtype),
-                                   face_uu, face_up, face_pu,
-                                   obs_uu, obs_up, obs_pu)
+            def vrows_for(nb_rows):
+                vrows = []
+                for i in range(nb_rows):
+                    _, iv, _ = blk.decompose(i)
+                    if iv == 0:
+                        vrows.append(jnp.concatenate([vl] * dim, axis=1))
+                    else:
+                        vrows.append(vl_p)
+                return jnp.concatenate(vrows, axis=1)
+
+            def invert(B):
+                # regularize fully-decoupled rows (degenerate coarse lvls)
+                zero_rows = (jnp.max(jnp.abs(B), axis=2) == 0.0).astype(
+                    dtype)
+                B = B + jax.vmap(jnp.diag)(zero_rows)
+                if S_.dg_pressure:
+                    return jnp.linalg.inv(B)
+                # FE_Q: continuous-pressure patches can be SINGULAR (few
+                # free velocity dofs vs the cell's nodal pressure dofs on
+                # very coarse levels); the pseudo-inverse drops those
+                # directions instead of blowing up -- additive updates from
+                # neighboring patches and coarser levels cover them
+                return jnp.linalg.pinv(B, rtol=1e-6)
+
+            if self.n_steps > 1:
+                vr1 = vrows_for(nb_step)[:, :, None]
+                B1 = assemble(A0s, B0s, nb_step, nb_step) * vr1
+                Bc = assemble(Acs, Bcs, nb_step, nb_step) * vr1
+                B1inv = invert(B1)
+                Kappa = jnp.einsum("cij,cjk->cik", B1inv, Bc)
+                return B1inv, Kappa
+            B = assemble(Alpha_st, Beta_st, n_blocks, n_blocks)
+            B = B * vrows_for(n_blocks)[:, :, None]
+            return invert(B), None
+
+        self.Binv, self.Kappa = jax.jit(build)(
+            lap, mass, S, flat_idx, jnp.asarray(vloc_np, dtype),
+            face_uu, face_up, face_pu, obs_uu, obs_up, obs_pu)
         if getattr(S, "weak_obstacle", False) and S.mesh.cell_mask is not None:
             # removed-cell patches must not update the (now free)
             # obstacle-boundary dofs: their rows are degenerate (zero
             # volume) and the regularized inverses inject noise
             act = jnp.asarray(S.mesh.cell_mask.reshape(-1), dtype)
             self.Binv = self.Binv * act[:, None, None]
+            if self.Kappa is not None:
+                self.Kappa = self.Kappa * act[:, None, None]
 
     def vmult(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: flat [T, n_u + n_p] residual."""
@@ -288,7 +350,22 @@ class StokesVanka:
             tpos = it * nt + idof
             segs.append(uc[:, tpos] if iv == 0 else pc[:, tpos])
         r = jnp.concatenate(segs, axis=1)       # [C, P]
-        y = jnp.einsum("cij,cj->ci", self.Binv, r)
+        if self.n_steps > 1:
+            # per-step solve + sequential one-step recurrence (see build):
+            # y_s = B1inv r_s - Kappa y_{s-1}
+            S_steps = self.n_steps
+            P1 = r.shape[1] // S_steps
+            rs = r.reshape(C, S_steps, P1)
+            y0 = jnp.einsum("cij,csj->csi", self.Binv, rs)
+
+            def body(y_prev, y0s):
+                y_s = y0s - jnp.einsum("cij,cj->ci", self.Kappa, y_prev)
+                return y_s, y_s
+            _, ys = jax.lax.scan(body, jnp.zeros_like(y0[:, 0]),
+                                 jnp.moveaxis(y0, 1, 0))
+            y = jnp.moveaxis(ys, 0, 1).reshape(C, r.shape[1])
+        else:
+            y = jnp.einsum("cij,cj->ci", self.Binv, r)
 
         # scatter back
         du = jnp.zeros((T, dim, C, A_s), self.dtype)

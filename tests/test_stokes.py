@@ -573,3 +573,43 @@ def test_feq_nitsche_skew_pairing():
     lhs = float(jnp.sum(ru_p * u * S.mask_u))
     rhs = float(jnp.sum(rp_u * (p * S.mask_p)))
     assert abs(lhs + rhs) < 1e-9 * max(abs(lhs), 1.0)
+
+
+def test_stokes_vanka_scan_equals_dense():
+    """Multi-step Stokes Vanka (per-step inverse + one-step recurrence,
+    round 3) must agree with the dense whole-slab patch inverse to
+    roundoff -- the Stokes port of the heat fastdiag time factorization."""
+    import jax.numpy as jnp
+
+    from stfem_tpu.blocks import BlockSlice
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.ops.stokes import StokesOperator
+    from stfem_tpu.stmg.stokes_level import StokesVanka
+    from stfem_tpu.time.tables import (get_fe_time_weights,
+                                       get_fe_time_weights_stokes)
+
+    mesh = StructuredMesh([1, 1], [0.0, 0.0], [1.0, 1.0], refinement=1)
+    u_deg, p_deg, nq, k = 2, 1, 3, 1
+    ntao, nt = 4, 2
+    S = StokesOperator(mesh, u_deg, p_deg, nq, 1.0, dtype=jnp.float64)
+    Mu = LaplaceMassOperator(mesh, u_deg, nq, 1.0, 0.0, dtype=jnp.float64,
+                             mask=S.mask_u_np)
+    from stfem_tpu.time.tables import get_fe_time_weights_sequence
+    from stfem_tpu.types import TimeStepType
+    a_st, b_st = get_fe_time_weights_sequence(
+        TimeStepType.DG, 1.0 / 8, ntao, [], [k],
+        weight_fn=get_fe_time_weights_stokes)[0][:2]
+    blk = BlockSlice(ntao, 2, nt)
+    v_scan = StokesVanka(S, Mu, a_st, b_st, blk, dtype=jnp.float64)
+    v_dense = StokesVanka(S, Mu, a_st, b_st, blk, dtype=jnp.float64,
+                          use_scan=False)
+    assert v_scan.n_steps == ntao, "scan structure not detected"
+    assert v_dense.n_steps == 1
+    rng = np.random.default_rng(0)
+    T = ntao * nt
+    x = jnp.asarray(rng.standard_normal((T, S.n_u + S.n_p)))
+    y1 = np.asarray(v_scan.vmult(x))
+    y2 = np.asarray(v_dense.vmult(x))
+    err = np.abs(y1 - y2).max() / np.abs(y2).max()
+    assert err < 1e-10, err
