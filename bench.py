@@ -62,6 +62,169 @@ import time
 import numpy as np
 
 
+def run_stokes_bench(jax, jnp, cpu, tpu_dev):
+    """3D Stokes slab-solve throughput (VERDICT r2 #3): Q2^3 velocity x
+    DGP1 pressure on a hyperRectangle (reference tf01stokes family,
+    include/operators.h:1193-1766), homogeneous Dirichlet velocity, smooth
+    body force, f32 FGMRES + Stokes STMG V-cycle (Vanka with u-only mass
+    mask, smoothing_range 5 -- the tf01stokes.json configuration), timed
+    slab solves with mean-pressure normalization.  Prints an info line and
+    a metric JSON line (space-time DoF/s/chip); the heat metric stays the
+    headline (printed last by main).
+
+    Env: STFEM_BENCH_STOKES=0 disables; _STOKES_CELLS (default 8),
+    _STOKES_NTAO (default 8), _STOKES_SLABS (default 6), _STOKES_MAXITER.
+    """
+    import time as _time
+
+    from stfem_tpu.krylov import fgmres
+    from stfem_tpu.mesh.fe import shape_data_1d
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.spatial import (LaplaceMassOperator, _sumfac,
+                                       cell_scatter)
+    from stfem_tpu.errors import quad_coordinates
+    from stfem_tpu.stmg.gmg import GMGParams, build_stmg_stokes
+    from stfem_tpu.ops.stokes import StokesOperator
+    from stfem_tpu.system_stokes import StokesSystemMatrix
+    from stfem_tpu.time.tables import get_fe_time_weights, get_time_quad
+    from stfem_tpu.types import TimeStepType
+
+    cells = int(os.environ.get("STFEM_BENCH_STOKES_CELLS", "8"))
+    ntao = int(os.environ.get("STFEM_BENCH_STOKES_NTAO", "8"))
+    n_slabs = int(os.environ.get("STFEM_BENCH_STOKES_SLABS", "6"))
+    maxiter = int(os.environ.get("STFEM_BENCH_STOKES_MAXITER", "30"))
+    k = 1                      # dG(1) in time
+    u_deg, p_deg, n_q = 2, 1, 3
+    dim = 3
+    nt = k + 1
+    tau = 1.0 / 16.0
+    dtype = jnp.float32
+    t0 = _time.time()
+    with jax.default_device(cpu):
+        refinement = int(np.log2(cells // 2))
+        mesh = StructuredMesh([2] * dim, [0.0] * dim, [1.0] * dim,
+                              refinement=refinement)
+        S = StokesOperator(mesh, u_deg, p_deg, n_q, 1.0, dtype=dtype)
+        Mu = LaplaceMassOperator(mesh, u_deg, n_q, 1.0, 0.0, dtype=dtype,
+                                 mask=S.mask_u_np)
+        a, b, g, z = get_fe_time_weights(TimeStepType.DG, k, tau, ntao)
+        matrix = StokesSystemMatrix(S, Mu, a, b)
+        rhs_matrix = StokesSystemMatrix(S, Mu, a, b, gamma=None, zeta=g,
+                                        type_=TimeStepType.DG)
+        gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
+                                viscosity=1.0, dtype=dtype,
+                                params=GMGParams(smoothing_range=5.0),
+                                fe_degree_min=1)
+        T = nt * ntao
+        # smooth body force at the Radau points of each step (diagonal
+        # Alpha rule), assembled once per slab batch on the host
+        sd = shape_data_1d(u_deg, n_q)
+        Sf = jnp.asarray(sd.S)
+        geom = mesh.geometry(n_q, u_deg)
+        jxw = jnp.asarray(geom.jxw)
+        fcoords = jnp.asarray(quad_coordinates(mesh, n_q))
+        tq = get_time_quad(TimeStepType.DG, k)[0]
+        a1 = get_fe_time_weights(TimeStepType.DG, k, tau, 1)[0]
+
+        def fvec(p, t):
+            # smooth divergence-containing body force (solver bench: any
+            # smooth field; errors are not evaluated here)
+            x, y_, z_ = p[..., 0], p[..., 1], p[..., 2]
+            s = jnp.sin(np.pi * x) * jnp.sin(np.pi * y_) * jnp.sin(
+                np.pi * z_) * jnp.sin(t + 0.3)
+            return jnp.stack([s, 2.0 * s, -s], axis=-1)
+
+        def force_u(t):
+            f = fvec(fcoords, t)
+            comps = []
+            for c in range(dim):
+                y = _sumfac([Sf] * dim, f[..., c] * jxw, dim, forward=False)
+                comps.append(cell_scatter(y, mesh.cells, u_deg))
+            return jnp.stack(comps, axis=0) * S.mask_u
+
+        def slab_force(time):
+            zero_p = jnp.zeros((S.n_p,))
+            parts = []
+            for it in range(ntao):
+                for j, q in enumerate(tq):
+                    F = force_u(time + tau * it + tau * float(q))
+                    parts.append(F.reshape(-1) * float(a1[j, j]))
+            flat_u = jnp.stack(parts)
+            return jnp.concatenate(
+                [flat_u, jnp.broadcast_to(zero_p, (T, zero_p.size))],
+                axis=1)
+
+        forces = jnp.stack([slab_force(i * tau * ntao)
+                            for i in range(n_slabs)])
+        prev0 = jnp.zeros(S.n_u + S.n_p, dtype)
+    setup_s = _time.time() - t0
+    matrix, rhs_matrix, gmg, forces, prev0 = jax.device_put(
+        (matrix, rhs_matrix, gmg, forces, prev0), tpu_dev)
+    detj = float(np.prod(mesh.h))
+    vol = 1.0
+
+    def solve_slab(matrix_, rhs_matrix_, gmg_, prev_flat, fslab):
+        prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
+        prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
+        rhs = rhs_matrix_.vmult_slice(prev_u, prev_p) + fslab
+        x0 = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
+        res = fgmres(matrix_.vmult, rhs, x0, precondition=gmg_.vmult,
+                     maxiter=maxiter, abstol=1e-30, reltol=1e-8)
+        x = res.x
+        # mean-pressure normalization (DGP constant mode carries the mean)
+        u_time, p_time = S.unpack(x)
+        means = jnp.sum(p_time[..., 0],
+                        axis=tuple(range(1, dim + 1))) * detj / vol
+        p_time = p_time.at[..., 0].add(-means.reshape((T,) + (1,) * dim))
+        # pin the carry dtype (under the heat bench's jax_enable_x64 the
+        # mean-shift arithmetic weak-promotes to f64)
+        xs = S.pack(u_time[-1], p_time[-1]).astype(prev_flat.dtype)
+        # true f32 relative residual of this slab (mean shift is in the
+        # operator's null direction, so check the RAW solution)
+        r = rhs - matrix_.vmult(res.x)
+        tr = (jnp.linalg.norm(r.reshape(-1))
+              / jnp.linalg.norm(rhs.reshape(-1)))
+        return xs, res.iterations, tr, res.converged
+
+    @jax.jit
+    def march(matrix_, rhs_matrix_, gmg_, forces_, prev_flat):
+        def step(prev, fslab):
+            xs, it, tr, cv = solve_slab(matrix_, rhs_matrix_, gmg_, prev,
+                                        fslab)
+            return xs, (it, tr, cv)
+        last, (its, trs, cvs) = jax.lax.scan(step, prev_flat, forces_)
+        return last, its, trs, cvs
+
+    t0 = _time.time()
+    last, its, trs, cvs = march(matrix, rhs_matrix, gmg, forces, prev0)
+    _ = float(jnp.sum(last))
+    compile_s = _time.time() - t0
+    t0 = _time.time()
+    _ = float(jnp.sum(prev0))
+    readback = _time.time() - t0
+    t0 = _time.time()
+    last, its, trs, cvs = march(matrix, rhs_matrix, gmg, forces, prev0)
+    _ = float(jnp.sum(last))
+    elapsed = max(_time.time() - t0 - readback, 1e-9)
+    its = np.asarray(its)
+    st_dofs = (S.n_u + S.n_p) * T * n_slabs
+    val = st_dofs / elapsed
+    info = dict(problem="stokes3d", cells=mesh.n_cells,
+                u_dofs=int(S.n_u), p_dofs=int(S.n_p), n_blocks=int(T),
+                slabs=n_slabs, avg_iters=float(its.mean()),
+                max_true_rel_residual=float(np.asarray(trs).max()),
+                converged=bool(np.all(np.asarray(cvs))),
+                setup_s=round(setup_s, 2), compile_s=round(compile_s, 2),
+                solve_s=round(elapsed, 3))
+    print(json.dumps(info), flush=True)
+    print(json.dumps({
+        "metric": "stmg_stokes_slab_solve_throughput_3d_q2_dgp1_dg1",
+        "value": val,
+        "unit": "space-time DoF/s/chip (f32 slab solves, rel 1e-8)",
+        "vs_baseline": val / 1.0e9,
+    }), flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -757,6 +920,14 @@ def main():
                     rtol1=float(f"{rtol1:.3e}"),
                     ir_rtol=float(f"{ir_rtol:.3e}"))
     print(json.dumps(info), flush=True)
+    # secondary metric: 3D Stokes slab-solve throughput (VERDICT r2 #3).
+    # Printed BEFORE the headline heat metric so the driver's last-line
+    # parse keeps the heat number as the tracked metric.
+    if os.environ.get("STFEM_BENCH_STOKES", "1") == "1":
+        try:
+            run_stokes_bench(jax, jnp, cpu, tpu_dev)
+        except Exception as e:
+            print(f"# stokes bench failed: {e!r}", flush=True)
     print(json.dumps({
         "metric": "stmg_slab_solve_throughput_3d_heat_q4_dg2",
         "value": dofs_per_sec,

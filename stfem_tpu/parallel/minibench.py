@@ -2,7 +2,7 @@
 
 Runs the SAME solver composition as the headline bench (3D heat, Q4 space x
 dG(2) time, temporal blocking, glue-free Richardson first solve stopped at
-the f32 floor, float-float IR correction, ff true-residual verification)
+the f32 floor, high-precision IR correction and true-residual verification (f64 on CPU))
 with the block vector sharded over a 2- or 3-axis spatial device mesh and
 the per-level sharding policy installed (fine levels sharded, coarse levels
 replicated -- the analogue of the reference's per-level partitioners /
@@ -41,7 +41,7 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
     from ..integrators import ForceAssembler
     from ..krylov import richardson_solve
     from ..mesh.grid import StructuredMesh
-    from ..ops.floatfloat import FFSlabResidual, ff_add_f32, ff_from_f64
+    from ..ops.floatfloat import ff_add_f32, ff_from_f64
     from ..ops.spatial import LaplaceMassOperator
     from ..problems import heat as heat_problem
     from ..stmg.gmg import GMGParams, build_stmg
@@ -76,7 +76,9 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
     force = ForceAssembler(mesh, space_degree, space_degree + 1,
                            lambda p, t: heat_problem.rhs(p, t, 1.0),
                            K.mask_np, dtype=dtype)
-    # ff residual engine needs the f64 discretization (exact 1D factors)
+    # high-precision residual: the f64 discretization (CPU-native f64;
+    # rectangular per-step tables fusing the one-step coupling, the same
+    # form as the bench's stepwise residual)
     import jax as _jax
     x64_was = bool(_jax.config.jax_enable_x64)
     if not x64_was:
@@ -85,8 +87,17 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
                               1.0, dtype=jnp.float64)
     M64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1, 1.0,
                               0.0, dtype=jnp.float64)
-    ffres = FFSlabResidual(K64, M64, Alpha, Beta, Gamma)
     n_blocks = Alpha.shape[0]
+    nt64 = n_blocks // ntao
+    struct = SystemMatrix._detect_step_structure(
+        np.asarray(Alpha, np.float64), np.asarray(Beta, np.float64))
+    assert struct is not None
+    _, A0_, A1_, B0_, B1_ = struct
+    A04 = np.concatenate([A1_[:, -1:], A0_], axis=1)
+    B04 = np.concatenate([B1_[:, -1:], B0_], axis=1)
+    matrix64 = SystemMatrix(K64, M64, A04, B04)
+    rhs_matrix64 = SystemMatrix(K64, M64, np.zeros_like(Gamma),
+                                np.asarray(Gamma, np.float64))
     shape = (n_blocks,) + mesh.dof_shape(space_degree)
 
     tq = get_time_quad(TimeStepType.DG, fe_degree)[0]
@@ -106,8 +117,7 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
         jnp.asarray(t_off, jnp.float64), jnp.asarray(f_sc, jnp.float64))
     fslab_ff = ff_from_f64(f_slab64)
     prev_ff = ff_from_f64(jnp.asarray(prev_np))
-    if not x64_was:
-        _jax.config.update("jax_enable_x64", False)
+    # x64 stays ENABLED: the residual stage runs in native f64 on CPU
 
     # the IR pipeline as SEPARATE jitted stages, mirroring bench.py's
     # consolidation: one big outer-solver executable with reltol traced
@@ -128,11 +138,36 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
                                    maxiter=40, abstol=1e-30, reltol=reltol)
             return c(res.x), res.iterations
 
+        # high-precision IR residual.  On CPU float64 is NATIVE, so the
+        # residual uses the f64 discretization directly (the reference's
+        # own outer precision, time_integrators.h:56-59) -- bitwise
+        # stronger than the TPU bench's float-float engine, whose ~2000-op
+        # ff graph also compiles pathologically slowly on XLA:CPU
+        # (>13 min measured standalone; the ff path stays TPU-only and is
+        # exercised by bench.py on the real chip).
         @jax.jit
         def jit_resid(prev_hi, prev_lo, xh, xl, fhi, flo):
-            (r_hi, _r_lo), rnorm, bn = ffres.residual(
-                (prev_hi, prev_lo), (xh, xl), (fhi, flo))
-            return c(r_hi / rnorm), rnorm, bn
+            x64 = (xh.astype(jnp.float64)
+                   + xl.astype(jnp.float64)).reshape(
+                       (ntao, nt64,) + shape[1:])
+            prev64 = prev_hi.astype(jnp.float64) \
+                + prev_lo.astype(jnp.float64)
+            f64 = fhi.astype(jnp.float64) + flo.astype(jnp.float64)
+            rhs64 = rhs_matrix64.vmult(prev64[None]) + f64
+            xprev = jnp.concatenate(
+                [jnp.zeros_like(x64[:1, -1:]), x64[:-1, -1:]], axis=0)
+            xin = jnp.concatenate([xprev, x64], axis=1)
+            rh = rhs64.reshape(x64.shape)
+
+            def body(carry, inp):
+                xi, rhi = inp
+                return carry, rhi - matrix64.vmult(xi)
+
+            _, rs = jax.lax.scan(body, None, (xin, rh))
+            r = rs.reshape(shape)
+            rnorm = jnp.linalg.norm(r.reshape(-1))
+            bn = jnp.linalg.norm(rhs64.reshape(-1))
+            return c((r / rnorm).astype(jnp.float32)), rnorm, bn
 
         @jax.jit
         def jit_update(xh, xl, rnorm, corr):
@@ -177,13 +212,16 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
         return a
 
     msizes = dict(zip(dev_mesh.axis_names, dev_mesh.devices.shape))
-    prev_shard = NamedSharding(dev_mesh, PartitionSpec(*spec[1:]))
 
     with dev_mesh:
-        ph = jax.device_put(jnp.asarray(prev_ff[0]), prev_shard)
-        plo = jax.device_put(jnp.asarray(prev_ff[1]), prev_shard)
-        fhi = jax.device_put(fslab_ff[0], sharding)
-        flo = jax.device_put(fslab_ff[1], sharding)
+        # inputs enter REPLICATED (odd dof extents 2^r k + 1 are not
+        # divisible by the mesh axes, which explicit input shardings
+        # require); the with_sharding_constraint calls inside the stages
+        # distribute everything -- GSPMD handles uneven shard sizes freely
+        # inside the program
+        ph = jnp.asarray(prev_ff[0])
+        plo = jnp.asarray(prev_ff[1])
+        fhi, flo = fslab_ff
         stages = build_stages(constrain)
         # collective mix of the dominant executable (the shared outer
         # solve: matvec + V-cycle under the per-level sharding policy)
