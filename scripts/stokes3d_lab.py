@@ -26,6 +26,65 @@ from stfem_tpu.types import (SupportedSmoothers,  # noqa: E402
                              TimeStepType)
 
 
+def run_rich(cells, ntao, params, label, maxiter=40, dim=3):
+    """Glue-free Richardson outer with a TRUE-residual check: is the 3D
+    'iteration count' actually an FGMRES-estimate artifact?"""
+    from stfem_tpu.krylov import richardson_solve
+    k, u_deg, p_deg, n_q, nt = 1, 2, 1, 3, 2
+    tau = 1.0 / 16.0
+    mesh = StructuredMesh([2] * dim, [0.0] * dim, [1.0] * dim,
+                          refinement=int(np.log2(cells // 2)))
+    S = StokesOperator(mesh, u_deg, p_deg, n_q, 1.0, dtype=jnp.float64)
+    Mu = LaplaceMassOperator(mesh, u_deg, n_q, 1.0, 0.0,
+                             dtype=jnp.float64, mask=S.mask_u_np)
+    a, b, g, z = get_fe_time_weights(TimeStepType.DG, k, ntao and tau, ntao)
+    matrix = StokesSystemMatrix(S, Mu, a, b)
+    gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
+                            viscosity=1.0, dtype=jnp.float64,
+                            params=params, fe_degree_min=1)
+    T = nt * ntao
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.standard_normal((dim,) + S.dof_shape_u)) * S.mask_u
+    rhs = jnp.broadcast_to(S.pack(u0, jnp.zeros(S.p_shape)),
+                           (T, S.n_u + S.n_p))
+    t0 = time.time()
+    res = richardson_solve(jax.jit(matrix.vmult), rhs,
+                           jnp.zeros_like(rhs), jax.jit(gmg.vmult),
+                           maxiter=maxiter, abstol=1e-30, reltol=1e-8)
+    r = rhs - matrix.vmult(res.x)
+    tr = float(jnp.linalg.norm(r.reshape(-1))
+               / jnp.linalg.norm(rhs.reshape(-1)))
+    print(f"{label} [RICH]: iters {int(res.iterations)}  "
+          f"true {tr:.2e}  ({time.time() - t0:.0f}s)", flush=True)
+
+
+def run_rho(cells, ntao, params, label, dim=3, n_it=25):
+    """Spectral radius of I - P A (Richardson contraction) by power
+    iteration -- instant contractivity diagnosis per smoother config."""
+    from stfem_tpu.krylov import estimate_error_propagator_radius
+    k, u_deg, p_deg, n_q, nt = 1, 2, 1, 3, 2
+    tau = 1.0 / 16.0
+    mesh = StructuredMesh([2] * dim, [0.0] * dim, [1.0] * dim,
+                          refinement=int(np.log2(cells // 2)))
+    S = StokesOperator(mesh, u_deg, p_deg, n_q, 1.0, dtype=jnp.float64)
+    Mu = LaplaceMassOperator(mesh, u_deg, n_q, 1.0, 0.0,
+                             dtype=jnp.float64, mask=S.mask_u_np)
+    a, b, g, z = get_fe_time_weights(TimeStepType.DG, k, tau, ntao)
+    matrix = StokesSystemMatrix(S, Mu, a, b)
+    gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
+                            viscosity=1.0, dtype=jnp.float64,
+                            params=params, fe_degree_min=1)
+    T = nt * ntao
+    rng = np.random.default_rng(0)
+    v0 = jnp.asarray(rng.standard_normal((T, S.n_u + S.n_p)))
+    t0 = time.time()
+    rho = float(jax.jit(lambda v: estimate_error_propagator_radius(
+        matrix.vmult, gmg.vmult, v, n_iterations=n_it))(v0))
+    oms = [f"{getattr(l.smoother, 'omega', None)}" for l in gmg.levels]
+    print(f"{label}: rho(I-PA) = {rho:.3f}  omegas {oms}  "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+
 def run(cells, ntao, params, label, maxiter=60, dim=3):
     k = 1
     u_deg, p_deg, n_q = 2, 1, 3
@@ -78,3 +137,22 @@ if __name__ == "__main__":
             dim=2)
     if which in ("all", "8"):
         run(8, 8, GMGParams(smoothing_range=5.0), "3d 8^3 ntao8 default")
+    if which in ("all", "rho"):
+        run_rho(4, 2, GMGParams(smoothing_range=5.0), "r5 (bench cfg)")
+        run_rho(4, 2, GMGParams(smoothing_range=5.0), "r5 2D", dim=2)
+        run_rho(4, 2, GMGParams(smoothing_range=1.0), "r1")
+        run_rho(4, 2, GMGParams(smoothing_range=5.0, relaxation=0.5),
+                "r5 omega0.5")
+        run_rho(4, 2, GMGParams(smoothing_range=5.0, relaxation=0.3),
+                "r5 omega0.3")
+        run_rho(4, 2, GMGParams(smoothing_range=5.0,
+                                smoother_inner_iterations=2), "r5 inner2")
+        run_rho(4, 2, GMGParams(smoother=SupportedSmoothers.Chebyshev,
+                                smoothing_range=20.0,
+                                smoother_inner_iterations=3), "cheb3 r20")
+    if which in ("all", "rich"):
+        run_rich(4, 2, GMGParams(smoothing_range=5.0), "3d 4^3 ntao2")
+        run_rich(4, 4, GMGParams(smoothing_range=5.0), "3d 4^3 ntao4")
+        run_rich(4, 4, GMGParams(smoothing_range=5.0,
+                                 smoother_inner_iterations=2),
+                 "3d 4^3 ntao4 inner2")

@@ -9,12 +9,11 @@ refinements for heat/wave, k=1 x first 2 refinements for Stokes) to keep CI
 time bounded; set STFEM_GOLDEN_FULL=1 for the reference's full default-mode
 sweep (3 degrees x 4 refinements per config — hours on CPU).
 
-Tolerances: errors rel 2e-4 (goldens print 6 significant digits; our values
+Tolerances: errors rel 5e-4 (goldens print 6 significant digits; our values
 are golden-exact to ~1e-5 where pinned individually), observed rates abs
-0.02, average GMRES iterations at most golden+2.55 (measured parity: within
-+-1 at refinements >= 3; the coarsest refinement sits up to 2 high because
-the eigenvalue estimate differs on tiny ladders — VERDICT r1 Weak #8 — and
-Stokes runs up to 3 BELOW golden, which is fine).
+0.02, average GMRES iterations at most golden+1.05 (round 3: the
+order-invariant Arnoldi eigenvalue estimates hold parity to +-1 everywhere;
+Stokes runs BELOW golden, which the one-sided bound allows).
 """
 import os
 
@@ -104,6 +103,11 @@ def _check_block(blk, results, err_fields, label):
 
 @pytest.mark.parametrize("ci,bi,n_ref", _tp01_cases())
 def test_tp01_golden_tables(ci, bi, n_ref):
+    import jax
+    jax.clear_caches()   # full-ladder sweeps accumulate hundreds of
+    # XLA:CPU executables in one module; without clearing, the backend
+    # segfaults partway (same failure mode as the conftest's per-module
+    # clear targets)
     from stfem_tpu.config import Parameters
     from stfem_tpu.drivers.tp01 import run_single
 
@@ -118,6 +122,8 @@ def test_tp01_golden_tables(ci, bi, n_ref):
 
 @pytest.mark.parametrize("ci,bi,n_ref", _tp03_cases())
 def test_tp03stokes_golden_tables(ci, bi, n_ref):
+    import jax
+    jax.clear_caches()
     from stfem_tpu.config import Parameters
     from stfem_tpu.drivers.tp03stokes import parse_stokes_extra, run_single
 
