@@ -115,7 +115,13 @@ def test_tp01_golden_tables(ci, bi, n_ref):
     blk = parse_golden(TP01_GOLDEN)[ci].blocks[bi]
     p = Parameters.parse(os.path.join(REF_JSON, f"{name}.json"), 2)
     k = p.fe_degree + bi
-    results = [run_single(p, k, p.refinement + ri) for ri in range(n_ref)]
+    results = []
+    for ri in range(n_ref):
+        results.append(run_single(p, k, p.refinement + ri))
+        # full ladders compile many executables per refinement; XLA:CPU
+        # aborts/segfaults once enough accumulate IN ONE test (observed at
+        # tf01-k3 ref 5), so clear between refinements too
+        jax.clear_caches()
     _check_block(blk, results, ("linf_linf", "l2_l2", "l2_h1"),
                  f"{name} k={k}")
 
@@ -135,8 +141,10 @@ def test_tp03stokes_golden_tables(ci, bi, n_ref):
         extra_path = os.path.join(REF_JSON, os.path.basename(extra_path))
     extra = parse_stokes_extra(extra_path)
     k = p.fe_degree + bi
-    results = [run_single(p, extra, k, p.refinement + ri)
-               for ri in range(n_ref)]
+    results = []
+    for ri in range(n_ref):
+        results.append(run_single(p, extra, k, p.refinement + ri))
+        jax.clear_caches()
     _check_block(blk, results,
                  ("linf_linf_u", "l2_l2_u", "l2_h1_u", "l2_hdiv_u",
                   "linf_linf_p", "l2_l2_p", "l2_h1_p"),
