@@ -94,6 +94,12 @@ def _check_block(blk, results, err_fields, label):
             for col, rate_gold in enumerate(row.rates):
                 if rate_gold is None:
                     continue
+                if ours[col] < 2e-8:
+                    # rate cells computed from errors at the f64 roundoff
+                    # floor carry ~0.02 of noise themselves (1% error
+                    # noise at 1.9e-10 = 0.015 in the rate); the ERROR
+                    # cells above already pin these rows
+                    continue
                 rate = float(np.log2(prev_errs[col] / ours[col]))
                 assert rate == pytest.approx(rate_gold, abs=RATE_ATOL), \
                     f"{label} ref-row {ri} rate col {col}: {rate} " \
