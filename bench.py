@@ -289,7 +289,6 @@ def main():
     # stmg.h:1331-1344).  STFEM_BENCH_IR=0 restores the plain f32 path.
     use_ir = os.environ.get("STFEM_BENCH_IR", "1") == "1"
     ir_passes = int(os.environ.get("STFEM_BENCH_IR_PASSES", "1"))
-    ir_maxiter = int(os.environ.get("STFEM_BENCH_IR_MAXITER", "10"))
     # float-float IR engine (default): the residual/update/verify chain runs
     # in double-single arithmetic (two f32s, ~2^-48; ops/floatfloat.py) --
     # native VPU ops instead of the x64 integer emulation, no f64 arrays on
@@ -855,6 +854,13 @@ def main():
                 _rp, rnp, bnp = jit_resid_ff(matrix64, prev, x_ffp,
                                              f64slabs[0][0], f64slabs[1][0])
                 probe_floor = float(rnp) / float(bnp)
+            else:
+                x32p, _, _, _ = first_solve(matrix, rhs_matrix, gmg, force,
+                                            prev.astype(jnp.float32),
+                                            np.float32(0.0), 1e-8)
+                probe_floor = float(jit_verify_slab(
+                    matrix64, rhs_matrix64, prev.astype(jnp.float64),
+                    x32p.astype(jnp.float64), f64slabs[0]))
         # derived tolerances: stop the first solve just above the floor;
         # one correction pass must bridge floor -> 1e-8
         if rtol1 is None:

@@ -305,20 +305,14 @@ class FFSlabResidual:
         lo = fslab_ff[1].at[: self.nt].set(head[1])
         return hi, lo
 
-    # whole-slab/stepwise switch: above this many step-slab elements
-    # (nt+1) * S * space_dofs the batched form's f32-pair temporaries
-    # threaten HBM and the lax.scan form is used instead.  The batched
-    # form evaluates ALL steps in one fused pass -- the 32-step scan
-    # serialized tiny (~0.3 ms of VPU work) steps and measured 79 ms at
-    # the 16^3 bench shape vs ~9 ms VPU-bound (vcycle_decompose_lab).
-    SLAB_BATCH_MAX_ELEMS = 100_000_000
-
     def residual(self, prev_ff, x_ff, fslab_ff, mode: str = "auto"):
         """r = rhs - A_slab x in ff; returns ((r_hi, r_lo), ||r||, ||rhs||)
         with f32 norms (tree-reduction accuracy ~1e-6 relative -- plenty
-        for IR scaling and the 1e-8 verification).  mode: "auto" picks the
-        batched whole-slab form unless its temporaries exceed
-        SLAB_BATCH_MAX_ELEMS; "slab"/"step" force."""
+        for IR scaling and the 1e-8 verification).  mode: "auto" maps to
+        the per-step lax.scan form ("step"), measured fastest at the 16^3
+        bench shape (78 ms vs slab 216 / chunk4 167 / chunk8 196 ms);
+        "slab"/"chunkN"/"unroll"/"step" force the experimental forms
+        (override via STFEM_FF_RESID_MODE)."""
         import os as _os
         import jax as _jax
         import jax.numpy as _jnp

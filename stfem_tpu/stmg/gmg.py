@@ -572,10 +572,8 @@ def build_stmg(mesh_fine: StructuredMesh, fe_degree: int, space_degree: int,
                     # promote, so temps stay f32 inside the estimate)
                     est_dtype = (jnp.float32 if params.level_bf16 else dtype)
                     # order-invariant converged Arnoldi for small/proxy
-                    # estimates; deal.II power elsewhere.  With an
-                    # accelerator available the ARPACK matvecs run there
-                    # (host sweeps at proxy size were the 16^3 setup
-                    # bottleneck).
+                    # estimates (always host-side); deal.II power
+                    # elsewhere, accelerator-backed when big.
                     eig_method = ("arnoldi" if params.eig_exact
                                   and int(np.prod(est_shape))
                                   <= params.eig_exact_max_n else "power")

@@ -81,8 +81,7 @@ class EigInfo:
 
 def arnoldi_lambda_max(matrix, precond, shape_blocks, mask, dtype,
                        tol: float = 1e-5, ncv: int = 24,
-                       no_pallas: bool | None = None,
-                       device=None) -> float | None:
+                       no_pallas: bool | None = None) -> float | None:
     """CONVERGED largest |eigenvalue| of P A via implicitly-restarted
     Arnoldi (scipy.sparse.linalg.eigs) with the deterministic start vector.
 
@@ -106,13 +105,11 @@ def arnoldi_lambda_max(matrix, precond, shape_blocks, mask, dtype,
                     ).reshape(-1).astype(np.float64)
     if not np.any(v0):
         return None
+    # arnoldi sweeps always run host-side on proxy-sized operators (the
+    # per-level remote jit compiles an accelerator path would need cost
+    # more than the small matvecs save)
     if no_pallas is None:
-        no_pallas = device is None and jax.default_backend() != "cpu"
-    if device is not None:
-        # accelerator-backed matvecs: proxy-sized operators transfer once,
-        # each ARPACK vector rides the (small) host<->device round trip --
-        # the host-CPU sweeps were the 16^3 setup bottleneck
-        matrix, precond = jax.device_put((matrix, precond), device)
+        no_pallas = jax.default_backend() != "cpu"
 
     @jax.jit
     def apply(v):
@@ -121,8 +118,6 @@ def arnoldi_lambda_max(matrix, precond, shape_blocks, mask, dtype,
 
     def matvec(v):
         x = jnp.asarray(v, jnp.float32)
-        if device is not None:
-            x = jax.device_put(x, device)
         if no_pallas:
             with pallas_grid.disabled():
                 return np.asarray(apply(x), np.float64)
@@ -153,8 +148,7 @@ def estimate_eigenvalues(matrix, precond, shape_blocks, mask, dtype,
     the TPU during setup -- the caller must have device_put matrix/precond
     there already)."""
     if method == "arnoldi":
-        lam = arnoldi_lambda_max(matrix, precond, shape_blocks, mask, dtype,
-                                 device=device)
+        lam = arnoldi_lambda_max(matrix, precond, shape_blocks, mask, dtype)
         if lam is not None:
             return EigInfo(min_eigenvalue=lam, max_eigenvalue=lam)
     v0 = initial_guess(shape_blocks, mask, dtype)

@@ -304,6 +304,12 @@ class StokesVanka:
                 Bc = assemble(Acs, Bcs, nb_step, nb_step) * vr1
                 B1inv = invert(B1)
                 Kappa = jnp.einsum("cij,cjk->cik", B1inv, Bc)
+                # rows regularized to identity in B1 (fully decoupled in the
+                # diagonal block) must not retain step coupling through Bc --
+                # match the dense path, which regularizes from the full slab
+                # matrix (degenerate coarse-level edge case)
+                zrows = (jnp.max(jnp.abs(B1), axis=2) == 0.0)
+                Kappa = jnp.where(zrows[:, :, None], 0.0, Kappa)
                 return B1inv, Kappa
             B = assemble(Alpha_st, Beta_st, n_blocks, n_blocks)
             B = B * vrows_for(n_blocks)[:, :, None]

@@ -153,3 +153,36 @@ def test_ff_slab_residual_parity():
     np.testing.assert_allclose(float(rnorm),
                                np.linalg.norm(r_ref.reshape(-1)), rtol=1e-5)
     np.testing.assert_allclose(float(bnorm), scale, rtol=1e-5)
+
+
+def test_ff_pallas_kernel_interpret_parity():
+    """kron_pair_ff_pallas (interpret mode) vs the XLA ff form -- the fused
+    Mosaic kernel is gated off by default (compile blowup) but must stay
+    numerically exact for when the toolchain unblocks it (ADVICE r3)."""
+    from stfem_tpu.ops.pallas_ffresid import kron_pair_ff_pallas, supports
+
+    mesh = StructuredMesh([2, 2, 2], [0.0] * 3, [1.0] * 3, refinement=0)
+    deg = 3
+    K64 = LaplaceMassOperator(mesh, deg, deg + 1, 0.0, 1.0,
+                              dtype=jnp.float64)
+    M64 = LaplaceMassOperator(mesh, deg, deg + 1, 1.0, 0.0,
+                              dtype=jnp.float64)
+    kron = KronAssembled(K64, M64, jnp.float64)
+    kff = KronAssembledFF(kron)
+    n = int(kff.Md[0][0].shape[1])
+    assert supports(3, [n, n, n]) and kff._pallas_ok
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, n, n, n))
+    xh, xl = ff_from_f64(jnp.asarray(x))
+    (Kh, Kl), (Mh, Ml) = kff._pair_xla((xh, xl))
+    Kh2, Kl2, Mh2, Ml2 = kron_pair_ff_pallas(
+        xh, xl, kff._Dmh, kff._Dml, kff._Dah, kff._Dal, kff.k,
+        interpret=True)
+    K_ref = np.asarray(ff_to_f64((Kh, Kl)))
+    K_ker = np.asarray(ff_to_f64((Kh2, Kl2)))
+    M_ref = np.asarray(ff_to_f64((Mh, Ml)))
+    M_ker = np.asarray(ff_to_f64((Mh2, Ml2)))
+    scale = np.max(np.abs(K_ref))
+    np.testing.assert_allclose(K_ker, K_ref, atol=1e-12 * scale)
+    np.testing.assert_allclose(M_ker, M_ref, atol=1e-12)
