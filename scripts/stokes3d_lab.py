@@ -156,3 +156,109 @@ if __name__ == "__main__":
         run_rich(4, 4, GMGParams(smoothing_range=5.0,
                                  smoother_inner_iterations=2),
                  "3d 4^3 ntao4 inner2")
+
+    if which in ("all", "pinv"):
+        # round 4: Direct+pinv coarse (exact solve on range(A_c), pressure
+        # nullspace dropped) -- root cause fix from stokes_spectrum_lab
+        pd = GMGParams(smoothing_range=5.0,
+                       coarse_grid_smoother_type="Direct",
+                       coarse_direct_pinv=True)
+        run_rho(4, 2, pd, "r5 Direct-pinv coarse 4^3")
+        run_rich(4, 2, pd, "3d 4^3 ntao2 Direct-pinv")
+        run_rich(4, 4, pd, "3d 4^3 ntao4 Direct-pinv")
+        run(4, 4, pd, "3d 4^3 ntao4 Direct-pinv FGMRES")
+
+    if which in ("all", "isolate"):
+        # which transfer injects the expansive modes at 4^3? p-only ladder
+        # (4^3 mesh built at refinement 0 -> no h levels) vs h-only ladder
+        # (use_pmg=False -> no p levels), both with exact (pinv) coarse.
+        from stfem_tpu.krylov import estimate_error_propagator_radius
+        pd = GMGParams(smoothing_range=5.0,
+                       coarse_grid_smoother_type="Direct",
+                       coarse_direct_pinv=True)
+
+        def rho_custom(mesh, params, label, ntao=2, use_pmg=True,
+                       fe_degree_min=1):
+            k, u_deg, p_deg, n_q, nt = 1, 2, 1, 3, 2
+            tau = 1.0 / 16.0
+            S = StokesOperator(mesh, u_deg, p_deg, n_q, 1.0,
+                               dtype=jnp.float64)
+            Mu = LaplaceMassOperator(mesh, u_deg, n_q, 1.0, 0.0,
+                                     dtype=jnp.float64, mask=S.mask_u_np)
+            a, b, g, z = get_fe_time_weights(TimeStepType.DG, k, tau, ntao)
+            matrix = StokesSystemMatrix(S, Mu, a, b)
+            gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
+                                    viscosity=1.0, dtype=jnp.float64,
+                                    params=params, fe_degree_min=1,
+                                    use_pmg=use_pmg)
+            T = nt * ntao
+            rng = np.random.default_rng(0)
+            v0 = jnp.asarray(rng.standard_normal((T, S.n_u + S.n_p)))
+            rho = float(jax.jit(lambda v: estimate_error_propagator_radius(
+                matrix.vmult, gmg.vmult, v, n_iterations=30))(v0))
+            print(f"{label}: rho(I-PA) = {rho:.3f}  "
+                  f"levels {len(gmg.levels)}", flush=True)
+
+        mesh_p = StructuredMesh([4] * 3, [0.0] * 3, [1.0] * 3, refinement=0)
+        rho_custom(mesh_p, pd, "4^3 p-only ladder (pinv coarse)")
+        mesh_h = StructuredMesh([2] * 3, [0.0] * 3, [1.0] * 3, refinement=1)
+        rho_custom(mesh_h, pd, "4^3 h-only ladder (pinv coarse)",
+                   use_pmg=False)
+        rho_custom(mesh_h, pd, "4^3 h+p ladder (pinv coarse)")
+
+    if which in ("all", "ladder"):
+        from stfem_tpu.krylov import estimate_error_propagator_radius
+        from stfem_tpu.stmg.smoother import IdentitySmoother
+
+        def rho_ladder(params, label, ntao=2, **kw):
+            k, u_deg, p_deg, n_q, nt = 1, 2, 1, 3, 2
+            tau = 1.0 / 16.0
+            mesh = StructuredMesh([2] * 3, [0.0] * 3, [1.0] * 3,
+                                  refinement=1)
+            S = StokesOperator(mesh, u_deg, p_deg, n_q, 1.0,
+                               dtype=jnp.float64)
+            Mu = LaplaceMassOperator(mesh, u_deg, n_q, 1.0, 0.0,
+                                     dtype=jnp.float64, mask=S.mask_u_np)
+            a, b, g, z = get_fe_time_weights(TimeStepType.DG, k, tau, ntao)
+            matrix = StokesSystemMatrix(S, Mu, a, b)
+            gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
+                                    viscosity=1.0, dtype=jnp.float64,
+                                    params=params, fe_degree_min=1, **kw)
+            desc = []
+            for lvl in gmg.levels:
+                om = getattr(lvl.smoother, "omega", None)
+                sm = type(lvl.smoother).__name__[:5]
+                desc.append(f"{lvl.n_blocks}b/{tuple(lvl.dof_shape)}"
+                            f"/{sm}/{None if om is None else round(om, 3)}")
+            T = nt * ntao
+            rng = np.random.default_rng(0)
+            v0 = jnp.asarray(rng.standard_normal((T, S.n_u + S.n_p)))
+            rho = float(jax.jit(lambda v: estimate_error_propagator_radius(
+                matrix.vmult, gmg.vmult, v, n_iterations=30))(v0))
+            print(f"{label}: rho = {rho:.3f}\n   levels: {desc}",
+                  flush=True)
+
+        pd = dict(smoothing_range=5.0, coarse_grid_smoother_type="Direct",
+                  coarse_direct_pinv=True)
+        rho_ladder(GMGParams(**pd), "h+p default")
+        rho_ladder(GMGParams(**pd, smooth_all_levels=True),
+                   "h+p smooth_all_levels")
+        rho_ladder(GMGParams(**pd), "h+p time_before_space",
+                   time_before_space=True)
+        rho_ladder(GMGParams(**pd), "h+p space_time_level_first",
+                   space_time_level_first=True)
+        rho_ladder(GMGParams(**pd, relaxation=1.0), "h+p omega=1 all")
+
+    if which in ("all", "fixed"):
+        # round-4 fix validation: reference-faithful space ladder (velocity
+        # never below Q2) + Direct/pinv coarse
+        pd = GMGParams(smoothing_range=5.0,
+                       coarse_grid_smoother_type="Direct",
+                       coarse_direct_pinv=True)
+        run_rho(4, 2, pd, "FIXED 4^3 ntao2")
+        run_rich(4, 4, pd, "FIXED 4^3 ntao4")
+        run(4, 4, pd, "FIXED 4^3 ntao4 FGMRES")
+        ps = GMGParams(smoothing_range=5.0)
+        run_rho(4, 2, ps, "FIXED 4^3 ntao2 (GMRES coarse)")
+        run(8, 8, pd, "FIXED 8^3 ntao8 FGMRES", maxiter=30)
+        run_rich(8, 8, pd, "FIXED 8^3 ntao8 RICH")

@@ -288,7 +288,25 @@ class FFSlabResidual:
         self.G_ff = ff_from_f64(G_np[:nt])
         self.G_nz = G_np[:nt] != 0.0
         kron64 = KronAssembled(K64, M64, _jnp.float64)
-        self.kron = KronAssembledFF(kron64)
+        # Kronecker engine: "mxu" routes the banded applies through
+        # exact-sliced bf16 matmuls (ops/mxukron.py); "pallas9" routes them
+        # through the single-apply 9-roll Mosaic kernel
+        # (ops/pallas_ffband.py).  Default stays "xla"
+        # (elementwise ff): the MXU form is numerically exact (~1e-13) and
+        # compiles 2.6x faster, but MEASURED SLOWER end-to-end at the 16^3
+        # bench shape (step 165 vs 110 ms, chunk8 366 vs 233 -- the
+        # slice/transpose/recombine HBM traffic exceeds what the matmuls
+        # save; scripts/ffresid_mxu_lab.py).
+        import os as _os
+        _eng = _os.environ.get("STFEM_FF_KRON", "xla")
+        if _eng == "mxu":
+            from .mxukron import KronMXU
+            self.kron = KronMXU(kron64)
+        elif _eng == "pallas9":
+            from .pallas_ffband import KronPallas9
+            self.kron = KronPallas9(kron64)
+        else:
+            self.kron = KronAssembledFF(kron64)
         self.mask = _jnp.asarray(np.asarray(K64.mask_np), _jnp.float32)
 
     def rhs(self, prev_ff, fslab_ff):

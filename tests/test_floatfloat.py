@@ -186,3 +186,33 @@ def test_ff_pallas_kernel_interpret_parity():
     scale = np.max(np.abs(K_ref))
     np.testing.assert_allclose(K_ker, K_ref, atol=1e-12 * scale)
     np.testing.assert_allclose(M_ker, M_ref, atol=1e-12)
+
+
+def test_mxu_kron_jit_parity():
+    """KronMXU (exact-sliced bf16 matmuls, ops/mxukron.py) vs the ff
+    oracle UNDER JIT -- the integer-slice exactness must survive XLA
+    optimization (jnp.round, not the +2^23 trick, which XLA folds away)."""
+    import jax
+
+    from stfem_tpu.ops.mxukron import KronMXU
+
+    mesh = StructuredMesh([2, 2, 2], [0.0] * 3, [1.0] * 3, refinement=1)
+    deg = 3
+    K64 = LaplaceMassOperator(mesh, deg, deg + 1, 0.0, 1.0,
+                              dtype=jnp.float64)
+    M64 = LaplaceMassOperator(mesh, deg, deg + 1, 1.0, 0.0,
+                              dtype=jnp.float64)
+    kron = KronAssembled(K64, M64, jnp.float64)
+    kmx = KronMXU(kron)
+    rng = np.random.default_rng(7)
+    # mixed magnitudes exercise the dynamic power-of-two scale ladder
+    x = rng.standard_normal((3,) + mesh.dof_shape(deg)) \
+        * np.logspace(-4, 2, 3)[:, None, None, None]
+    Kx, Mx = kron.pair(jnp.asarray(x))
+    Kf, Mf = jax.jit(kmx.pair)(ff_from_f64(jnp.asarray(x)))
+    sK = float(np.max(np.abs(np.asarray(Kx))))
+    np.testing.assert_allclose(np.asarray(ff_to_f64(Kf)), np.asarray(Kx),
+                               atol=2e-13 * sK)
+    sM = float(np.max(np.abs(np.asarray(Mx))))
+    np.testing.assert_allclose(np.asarray(ff_to_f64(Mf)), np.asarray(Mx),
+                               atol=2e-13 * sM)
