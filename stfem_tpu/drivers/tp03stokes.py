@@ -39,7 +39,8 @@ def run_single(p: Parameters, stokes_extra: StokesParameters, k: int,
                 time_before_space=p.time_before_space,
                 space_time_level_first=p.space_time_level_first,
                 use_pmg=p.use_pmg,
-                fe_degree_min=max(p.fe_degree_min, 1))
+                fe_degree_min=max(p.fe_degree_min, 1),
+                fe_degree_min_space=max(p.fe_degree_min_space, 1))
     return run_stokes_cycle(
         refinement=ref, fe_degree=k, type_=p.type,
         n_timesteps_at_once=p.n_timesteps_at_once,
@@ -70,6 +71,7 @@ def run_practical(p: Parameters, stokes_extra: StokesParameters, k: int,
             time_before_space=p.time_before_space,
             space_time_level_first=p.space_time_level_first,
             use_pmg=p.use_pmg, fe_degree_min=max(p.fe_degree_min, 1),
+            fe_degree_min_space=max(p.fe_degree_min_space, 1),
             weak_faces=ctx.get("weak_faces", ()),
             free_faces=ctx.get("free_faces", ()),
             weak_obstacle=ctx.get("weak_obstacle", False))

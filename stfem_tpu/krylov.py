@@ -387,7 +387,13 @@ def gmres_fixed_left(A: Callable, b: jnp.ndarray, precondition: Callable,
         return V, Hc
 
     V, Hc = jax.lax.fori_loop(0, m, body, (V, Hc))
-    # least squares min || beta e1 - H y ||
+    # least squares min || beta e1 - H y ||.
+    # NOTE: on near-singular saddle-point systems this fixed-iteration
+    # solve amplifies near-null directions by O(1/sigma) (measured
+    # lambda(PA) ~ -1.3e6 on the tf01stokes coarse level) and an lstsq
+    # rcond does NOT help (the offending sigmas sit above any safe
+    # cutoff) -- Stokes coarse solves route to the assembled
+    # pseudo-inverse instead (build_stmg_stokes; stokes_spectrum_lab.py).
     e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
     y, *_ = jnp.linalg.lstsq(Hc, e1)
     return (V[:m].T @ y).reshape(shape)

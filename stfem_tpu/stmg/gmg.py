@@ -59,6 +59,12 @@ class GMGParams:
     coarse_grid_maxiter: int = 10
     coarse_grid_abstol: float = 1e-20
     coarse_grid_reltol: float = 1e-4
+    # Direct coarse via the exact pseudo-inverse: REQUIRED for singular
+    # saddle-point coarse systems (enclosed-flow Stokes pressure
+    # nullspace) -- a fixed-iteration Krylov coarse solve amplifies the
+    # near-null directions and makes the 3D V-cycle non-contractive
+    # (measured, scripts/stokes_spectrum_lab.py)
+    coarse_direct_pinv: bool = False
     restrict_is_transpose_prolongate: bool = True
     variable: bool = True
     # deal.II safety factor on the power-iteration max-eigenvalue estimate.
@@ -169,6 +175,14 @@ class GMG:
         # analogue of the reference's per-level partitioners/repartitioning
         # (stmg.h:563-586).  None = let GSPMD propagate from the fine level.
         self.level_shardings = None
+        # normalized nullspace vector(s) of the coarse operator (enclosed-
+        # flow Stokes: per-time-block constant pressure).  The coarse
+        # defect/solution are projected onto range(A_c): a fixed-iteration
+        # Krylov coarse solve otherwise amplifies the near-null directions
+        # the patch-regularized Vanka creates (measured: 2D tf01stokes
+        # 60 iters unprojected vs golden 12; 3D rho(I-PA) 1.32 --
+        # scripts/stokes_spectrum_lab.py, stokes3d_lab.py)
+        self.coarse_null = None
         self.coarse_Ainv = None
         if params.coarse_grid_smoother_type == "Direct":
             self.coarse_Ainv = self._assemble_direct_coarse()
@@ -193,6 +207,16 @@ class GMG:
         # unit diagonal on constrained (masked-away) dofs
         zero_rows = (jnp.max(jnp.abs(A), axis=1) == 0.0).astype(jnp.float32)
         A = A + jnp.diag(zero_rows)
+        if self.params.coarse_direct_pinv:
+            # saddle-point systems with an enclosed-flow pressure nullspace
+            # (constant-per-timeblock modes) are SINGULAR: the exact
+            # pseudo-inverse solves on range(A) and drops the null
+            # directions, where a Krylov coarse solve amplifies them --
+            # measured root cause of the non-contractive 3D Stokes V-cycle
+            # (rho(I-PA) 1.198 with GMRES(10) coarse vs 1.0-with-clean-
+            # spectrum with the exact solve; scripts/stokes_spectrum_lab.py)
+            return jnp.linalg.pinv(A.astype(jnp.float64),
+                                   rcond=1e-10).astype(jnp.float32)
         return jnp.linalg.inv(A)
 
     def _steps2(self, level: int) -> int:
@@ -234,17 +258,31 @@ class GMG:
                 u = u + lvl.smoother.vmult(r)
         return u
 
+    def _project_null(self, x):
+        """Remove the coarse-operator nullspace components (per leading
+        block index; z is normalized)."""
+        z = self.coarse_null.astype(x.dtype)
+        flat = x.reshape(x.shape[0], -1)
+        flat = flat - (flat @ z)[:, None] * z[None, :]
+        return flat.reshape(x.shape)
+
     def _coarse_solve(self, defect):
+        if self.coarse_null is not None:
+            defect = self._project_null(defect)
         if self.coarse_Ainv is not None:
             d = defect.astype(jnp.float32).reshape(-1)
-            return (self.coarse_Ainv @ d).reshape(
+            out = (self.coarse_Ainv @ d).reshape(
                 defect.shape).astype(self.dtype)
-        if self.params.coarse_grid_smoother_type == "Smoother":
-            return self._apply_smoother(0, defect)
-        lvl = self.levels[0]
-        return gmres_fixed_left(lvl.matrix.vmult, defect,
-                                lvl.smoother.vmult,
-                                self.params.coarse_grid_maxiter)
+        elif self.params.coarse_grid_smoother_type == "Smoother":
+            out = self._apply_smoother(0, defect)
+        else:
+            lvl = self.levels[0]
+            out = gmres_fixed_left(lvl.matrix.vmult, defect,
+                                   lvl.smoother.vmult,
+                                   self.params.coarse_grid_maxiter)
+        if self.coarse_null is not None:
+            out = self._project_null(out)
+        return out
 
     def _constrain(self, level: int, x):
         if self.level_shardings is None:
@@ -673,6 +711,7 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                       space_time_level_first: bool = False,
                       use_pmg: bool = True,
                       fe_degree_min: int | None = None,
+                      fe_degree_min_space: int | None = None,
                       n_timesteps_at_once_min: int | None = None,
                       poly_coarsening=PolynomialCoarseningSequenceType.bisect,
                       weak_faces=(), free_faces=(),
@@ -720,8 +759,21 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
             map_exact=mesh_fine.map_exact))
     poly_time = get_poly_mg_sequence(fe_degree, fe_degree_min,
                                      poly_coarsening)
-    poly_space = get_poly_mg_sequence(u_degree, 1 if dg_pressure else 2,
-                                      poly_coarsening)
+    # the space p-ladder coarsens the PRESSURE degree down to
+    # fe_degree_min_space (default fe_degree_min; reference
+    # parameters.h:174-175, tp_03stokes.cc:298-300) -- velocity is always
+    # pressure+1, so it never drops below Q2.  Coarsening the velocity
+    # degree directly to Q1 (pre-round-4 behavior) adds one Q1/DGP0 level
+    # whose Vanka-preconditioned operator has negative-real-part
+    # eigenmodes in 3D: the V-cycle then amplifies pressure modes
+    # (rho(I-PA) 1.32 at 4^3 with that level, 1.00 without --
+    # scripts/stokes3d_lab.py `ladder`)
+    if fe_degree_min_space is None:
+        fe_degree_min_space = fe_degree_min
+    poly_space_p = get_poly_mg_sequence(u_degree - 1,
+                                        max(int(fe_degree_min_space), 1),
+                                        poly_coarsening)
+    poly_space = [p + 1 for p in poly_space_p]
     mg_type_level = get_mg_sequence(
         n_sp_lvl, poly_time, poly_space, n_timesteps_at_once,
         n_timesteps_at_once_min, MGType.tau, coarsening_type,
@@ -876,6 +928,41 @@ def build_stmg_stokes(mesh_fine: StructuredMesh, fe_degree: int,
                 type_, mgt, nt_hi, nt_lo, n_at_once[l],
                 params.restrict_is_transpose_prolongate, dtype)))
 
+    # Stokes coarse solves route to the assembled pseudo-inverse whenever
+    # the coarse system fits: the coarsest saddle system is SINGULAR
+    # (enclosed-flow constant pressure, plus inf-sup-degenerate pressure
+    # directions on very coarse grids where B has fewer rows than pressure
+    # modes).  Both of the reference's coarse options amplify those
+    # near-null directions by O(1/sigma) in our composition -- measured
+    # lambda(PA) ~ -1.3e6 with the Vanka-smoother coarse apply on the
+    # tf01stokes 1-cell coarse level (driver stall at rel 1e-3) and
+    # rho(I-PA) 1.32 in 3D with the GMRES(10) coarse -- while the exact
+    # pinv solve yields 8/9 iterations vs the 12/12 goldens and a clean
+    # spectrum (scripts/stokes_spectrum_lab.py, stokes3d_lab.py).  One
+    # assembled pinv matmul is also the TPU-natural coarse solver (no
+    # sequential Krylov/smoother chain on-device); iteration counts stay
+    # AT OR BELOW the reference goldens, which the one-sided parity bound
+    # allows.
+    n_coarse = levels[0].n_blocks * int(np.prod(levels[0].dof_shape))
+    if n_coarse <= GMG.DIRECT_COARSE_MAX and not params.coarse_direct_pinv:
+        import dataclasses
+        params = dataclasses.replace(params,
+                                     coarse_grid_smoother_type="Direct",
+                                     coarse_direct_pinv=True)
     gmg = GMG(levels, transfers, params, dtype, precond_seq)
     gmg.mg_type_level = mg_type_level
+    if not free_faces:
+        # enclosed flow: the (coarse) operator is singular along the
+        # per-time-block constant-pressure mode (the reference leaves it
+        # free and subtracts the mean in POST-processing,
+        # tp_03stokes.cc:1047-1061).  Project it out of the coarse
+        # defect/solution -- see GMG.coarse_null.
+        S0 = sop_cache[(mesh_idx[0], poly_space[spd_idx[0]])][0]
+        if dg_pressure:
+            zp = np.zeros((int(np.prod(S0.cells)), S0.n_ploc_cell))
+            zp[:, 0] = 1.0       # DGP mode 0 = constant
+        else:
+            zp = np.asarray(S0.mask_p_np, np.float64).reshape(-1)
+        z = np.concatenate([np.zeros(S0.n_u), zp.reshape(-1)])
+        gmg.coarse_null = jnp.asarray(z / np.linalg.norm(z), dtype)
     return gmg
