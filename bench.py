@@ -168,17 +168,20 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
     detj = float(np.prod(mesh.h))
     vol = 1.0
 
-    # The Stokes V-cycle is not Richardson-contractive (additive Vanka on
-    # the saddle point: rho(I - PA) ~ 1.0 in 2D, 1.35 in 3D -- measured,
-    # scripts/stokes3d_lab.py), so the outer is FGMRES like the reference;
-    # its Givens estimate LAGS the true residual by ~100x in 3D (measured
-    # est 3.7e-8 at true 4.1e-10), so the solve is RESTARTED in short
-    # cycles gated on the TRUE residual -- stopping on the estimate alone
-    # would nearly double the iteration count.
+    # Round 4: the Stokes V-cycle is CONTRACTIVE after the
+    # space-ladder/pinv-coarse fixes (commit c3e760b), so the outer is
+    # glue-free preconditioned Richardson like the heat headline -- its
+    # stopping residual is the true f32 residual (no Givens-estimate lag,
+    # which measured ~100x pessimistic on the saddle point), the program
+    # is one while_loop (compiles minutes faster than the unrolled
+    # FGMRES restart chain), and each step costs matvec + V-cycle only.
+    # STFEM_BENCH_STOKES_OUTER=fgmres restores the r3 restart scheme.
+    outer_kind = os.environ.get("STFEM_BENCH_STOKES_OUTER", "richardson")
     restart = int(os.environ.get("STFEM_BENCH_STOKES_RESTART", "20"))
     n_cycles = -(-maxiter // restart)
 
     def solve_slab(matrix_, rhs_matrix_, gmg_, prev_flat, fslab):
+        from stfem_tpu.krylov import richardson_solve
         prev_u = prev_flat[:S.n_u].reshape((dim,) + S.dof_shape_u)
         prev_p = prev_flat[S.n_u:].reshape(S.p_shape)
         rhs = rhs_matrix_.vmult_slice(prev_u, prev_p) + fslab
@@ -186,15 +189,27 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
         x = jnp.broadcast_to(prev_flat, (T, prev_flat.size))
         it_total = jnp.asarray(0, jnp.int32)
         tr = jnp.asarray(1.0, rhs.dtype)
-        for _cyc in range(n_cycles):
-            r = rhs - matrix_.vmult(x)
-            tr = jnp.linalg.norm(r.reshape(-1)) / bnorm
-            res = fgmres(matrix_.vmult, r, jnp.zeros_like(x),
-                         precondition=gmg_.vmult, maxiter=restart,
-                         abstol=1e-30, reltol=1e-9)
-            done = tr <= target
-            x = jnp.where(done, x, x + res.x)
-            it_total = it_total + jnp.where(done, 0, res.iterations)
+        if outer_kind == "richardson":
+            # pin f32 through the while carry (the heat main enables x64
+            # for the IR machinery; mixed table dtypes would promote)
+            mv = lambda v: matrix_.vmult(v).astype(jnp.float32)
+            pc = lambda v: gmg_.vmult(v).astype(jnp.float32)
+            res = richardson_solve(mv, rhs.astype(jnp.float32),
+                                   x.astype(jnp.float32), pc,
+                                   maxiter=maxiter, abstol=1e-30,
+                                   reltol=0.5 * target)
+            x = res.x
+            it_total = res.iterations
+        else:
+            for _cyc in range(n_cycles):
+                r = rhs - matrix_.vmult(x)
+                tr = jnp.linalg.norm(r.reshape(-1)) / bnorm
+                res = fgmres(matrix_.vmult, r, jnp.zeros_like(x),
+                             precondition=gmg_.vmult, maxiter=restart,
+                             abstol=1e-30, reltol=1e-9)
+                done = tr <= target
+                x = jnp.where(done, x, x + res.x)
+                it_total = it_total + jnp.where(done, 0, res.iterations)
         r = rhs - matrix_.vmult(x)
         tr = jnp.linalg.norm(r.reshape(-1)) / bnorm
         # mean-pressure normalization (DGP constant mode carries the mean)
@@ -251,7 +266,257 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
     }), flush=True)
 
 
+def run_wave_bench(jax, jnp, cpu, tpu_dev):
+    """3D acoustic-wave slab-solve throughput (VERDICT r3 #5): Q4 space x
+    dG(2) time on the Schur-reduced second-order formulation
+    (include/time_integrators.h:400-447, fe_time.h:444-474), glue-free
+    Richardson + float-float iterative refinement to TRUE rel <= 1e-8,
+    with the dense velocity-recovery epilogue INSIDE the timed window
+    (the recovered v feeds the next slab's rhs, so it is part of the
+    march, not post-processing).  Prints an info line and a metric JSON
+    line; the heat metric stays the headline.
+
+    Env: STFEM_BENCH_WAVE=0 disables; _WAVE_CELLS (16), _WAVE_NTAO (32),
+    _WAVE_SLABS (6).
+    """
+    import time as _time
+
+    from stfem_tpu.integrators import ForceAssembler
+    from stfem_tpu.krylov import richardson_solve
+    from stfem_tpu.mesh.grid import StructuredMesh
+    from stfem_tpu.ops.floatfloat import (FFSlabResidual, ff_add_f32,
+                                          ff_from_f64)
+    from stfem_tpu.ops.spatial import LaplaceMassOperator
+    from stfem_tpu.problems import heat as heat_problem
+    from stfem_tpu.stmg.gmg import GMGParams, build_stmg
+    from stfem_tpu.system import SystemMatrix
+    from stfem_tpu.time.tables import (get_fe_time_weights,
+                                       get_fe_time_weights_wave,
+                                       get_time_quad)
+    from stfem_tpu.types import ProblemType, SupportedSmoothers, \
+        TimeStepType
+
+    cells = int(os.environ.get("STFEM_BENCH_WAVE_CELLS", "16"))
+    ntao = int(os.environ.get("STFEM_BENCH_WAVE_NTAO", "32"))
+    n_slabs = int(os.environ.get("STFEM_BENCH_WAVE_SLABS", "6"))
+    maxiter = int(os.environ.get("STFEM_BENCH_WAVE_MAXITER", "40"))
+    fe_degree, space_degree = 2, 4
+    nt = fe_degree + 1
+    tau = 1.0 / 16.0
+    freq = 1.0
+    dim = 3
+    dtype = jnp.float32
+    t0 = _time.time()
+    with jax.default_device(cpu):
+        refinement = int(np.log2(cells // 2))
+        mesh = StructuredMesh([2] * dim, [0.0] * dim, [1.0] * dim,
+                              refinement=refinement)
+        K = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                0.0, 1.0, dtype=dtype)
+        M = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                1.0, 0.0, dtype=dtype)
+        A1, B1, G1, Z1 = get_fe_time_weights(TimeStepType.DG, fe_degree,
+                                             tau, 1)
+        A_lhs, B_lhs, rhs_uK, rhs_uM, rhs_vM = get_fe_time_weights_wave(
+            TimeStepType.DG, A1, B1, G1, Z1, ntao)
+        matrix = SystemMatrix(K, M, A_lhs, B_lhs)
+        r_u = SystemMatrix(K, M, rhs_uK, rhs_uM)
+        r_v = SystemMatrix(K, M, np.zeros_like(rhs_vM), rhs_vM)
+        wave_bf16 = os.environ.get("STFEM_BENCH_WAVE_BF16", "1") == "1"
+        gmg = build_stmg(mesh, fe_degree, space_degree, TimeStepType.DG,
+                         ntao, tau, problem=ProblemType.wave, dtype=dtype,
+                         fe_degree_min=1,
+                         params=GMGParams(
+                             smoother=SupportedSmoothers.Relaxation,
+                             smoothing_range=1.0,
+                             coarse_grid_smoother_type="Direct",
+                             smoother_inner_iterations=2,
+                             skip_identity_levels=True,
+                             vanka_bf16=wave_bf16, level_bf16=wave_bf16,
+                             eig_proxy_cells=4),
+                         eig_device=tpu_dev)
+        n_blocks = A_lhs.shape[0]
+        shape = (n_blocks,) + mesh.dof_shape(space_degree)
+        # dense v-recovery tables (TimeIntegratorWave semantics)
+        Ainv = np.linalg.inv(np.asarray(A1, np.float64))
+        AixB64 = Ainv @ np.asarray(B1, np.float64)
+        AixG64 = -(Ainv @ np.asarray(G1, np.float64))  # DG sign
+        AixB = jnp.asarray(AixB64, dtype)
+        AixG = jnp.asarray(AixG64, dtype)
+        from stfem_tpu.ops.floatfloat import ff_from_f64 as _fff
+        AixB_ff = _fff(AixB64[-1])          # last-row recovery in ff
+        AixG_ff = _fff(np.asarray(AixG64[-1, 0]))
+        # ff residual engine on the wave tables (full-step coupling)
+        K64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                  0.0, 1.0, dtype=jnp.float64)
+        M64 = LaplaceMassOperator(mesh, space_degree, space_degree + 1,
+                                  1.0, 0.0, dtype=jnp.float64)
+        ffres = FFSlabResidual(K64, M64, A_lhs, B_lhs, rhs_uM,
+                               Gamma_K=rhs_uK, Gamma_v=rhs_vM)
+        # force slabs at the Radau points, assembled in f64 -> ff pairs
+        force64 = ForceAssembler(mesh, space_degree, space_degree + 1,
+                                 lambda p, t: heat_problem.wave_rhs(
+                                     p, t, freq),
+                                 K.mask_np, dtype=jnp.float64)
+        tq = get_time_quad(TimeStepType.DG, fe_degree)[0]
+        t_offsets = np.asarray([tau * it + tau * float(q)
+                                for it in range(ntao) for q in tq])
+        f_scales = np.asarray([float(A1[j, j]) for _ in range(ntao)
+                               for j in range(nt)])
+        fhis, flos = [], []
+        for i in range(n_slabs):
+            f64 = force64.batched(i * tau * ntao
+                                  + jnp.asarray(t_offsets),
+                                  jnp.asarray(f_scales))
+            fh, fl = ff_from_f64(f64)
+            fhis.append(fh)
+            flos.append(fl)
+        fhi = jnp.stack(fhis)
+        flo = jnp.stack(flos)
+        coords = jnp.asarray(mesh.dof_coordinates(space_degree),
+                             jnp.float64)
+        u0 = heat_problem.wave_exact_u(coords, 0.0, freq) \
+            if hasattr(heat_problem, "wave_exact_u") \
+            else heat_problem.exact_solution(coords, 0.0, freq)
+        v0 = heat_problem.wave_exact_v(coords, 0.0, freq)
+        prev_u = ff_from_f64(u0.astype(jnp.float64))
+        prev_v = ff_from_f64(v0.astype(jnp.float64))
+    setup_s = _time.time() - t0
+    (matrix, r_u, r_v, gmg, ffres, fhi, flo, prev_u, prev_v, AixB, AixG,
+     AixB_ff, AixG_ff) = jax.device_put(
+        (matrix, r_u, r_v, gmg, ffres, fhi, flo, prev_u, prev_v, AixB,
+         AixG, AixB_ff, AixG_ff), tpu_dev)
+
+    @jax.jit
+    def jit_stage(matrix_, ru_, rv_, gmg_, ffres_, prev_u_, prev_v_,
+                  x_base32, fh, fl, reltol, is_corr):
+        def prolog_first(_):
+            rhs = (ru_.vmult(prev_u_[0][None])
+                   + rv_.vmult(prev_v_[0][None]) + fh)
+            one = jnp.asarray(1.0, jnp.float32)
+            return rhs, jnp.broadcast_to(prev_u_[0], shape), one, one
+
+        def prolog_corr(_):
+            x_ff = (x_base32, jnp.zeros_like(x_base32))
+            (r_hi, _rl), rnorm, bn = ffres_.residual(
+                prev_u_, x_ff, (fh, fl), prev_v_ff=prev_v_)
+            return r_hi / rnorm, jnp.zeros(shape, jnp.float32), rnorm, bn
+
+        rhs, x0, rnorm, bn = jax.lax.cond(is_corr, prolog_corr,
+                                          prolog_first, None)
+        res = richardson_solve(matrix_.vmult, rhs, x0, gmg_.vmult,
+                               maxiter=maxiter, abstol=1e-30,
+                               reltol=reltol)
+        x_ff = ff_add_f32((x_base32, jnp.zeros_like(x_base32)),
+                          rnorm * res.x)
+        # dense v-recovery epilogue (all timesteps, f32 -- the reference
+        # recovers v every slab, time_integrators.h:400-447), plus the
+        # LAST v in ff (it feeds the next slab's rhs through the ff
+        # residual engine, so it must carry the pair's full precision)
+        from stfem_tpu.ops.floatfloat import ff_add, ff_mul
+        u = x_ff[0].reshape((ntao, nt) + shape[1:])
+        pu = jnp.concatenate([jnp.broadcast_to(
+            prev_u_[0], (1, 1) + shape[1:]), u[:-1, -1:]], axis=0)
+        v = (jnp.einsum("ij,sj...->si...", AixB, u)
+             + AixG[:, :1].reshape((1, nt) + (1,) * dim) * pu)
+        del v  # timed-window parity with the reference's full recovery
+        vl = None
+        for j in range(nt):
+            blk = n_blocks - nt + j
+            term = ff_mul((AixB_ff[0][j], AixB_ff[1][j]),
+                          (x_ff[0][blk], x_ff[1][blk]))
+            vl = term if vl is None else ff_add(vl, term)
+        pu_last = ((x_ff[0][n_blocks - nt - 1], x_ff[1][n_blocks - nt - 1])
+                   if ntao > 1 else prev_u_)
+        vl = ff_add(vl, ff_mul((AixG_ff[0], AixG_ff[1]), pu_last))
+        return (x_ff, res.iterations, res.residual, res.converged, rnorm,
+                bn, vl)
+
+    @jax.jit
+    def jit_verify(ffres_, prev_u_, prev_v_, x_ff, fh, fl):
+        _r, rn, bn = ffres_.residual(prev_u_, x_ff, (fh, fl),
+                                     prev_v_ff=prev_v_)
+        return rn, bn
+
+    def slab(prev_u_, prev_v_, i, rtol1_, ir_rtol_):
+        zero = jnp.zeros(shape, jnp.float32)
+        xf1, it, rs, cv, _, _, _ = jit_stage(
+            matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, zero,
+            fhi[i], flo[i], rtol1_, False)
+        x_ff, extra, _, _, rnorm, bn, v_last = jit_stage(
+            matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, xf1[0],
+            fhi[i], flo[i], ir_rtol_, True)
+        return x_ff, it + extra, rs, cv, rnorm, bn, v_last
+
+    # probe slab 0: floor + derived tolerances (heat-bench semantics)
+    t0 = _time.time()
+    _x, _it, _rs, _cv, rnp_, bnp_, _vl = slab(prev_u, prev_v, 0,
+                                              np.float32(1e-8),
+                                              np.float32(2.0))
+    floor = float(rnp_) / float(bnp_)
+    if not np.isfinite(floor):
+        print(f"# wave bench aborted: non-finite probe floor (V-cycle "
+              f"diverged; STFEM_BENCH_WAVE_BF16=0 for the f32 hierarchy)",
+              flush=True)
+        return
+    rtol1 = np.float32(max(1.4 * floor, 1e-8))
+    ir_rtol = np.float32(min(max(0.5e-8 / max(floor, 1e-12), 1e-7), 2e-3))
+    compile_s = _time.time() - t0
+    print(f"# wave probe: floor {floor:.3e} -> rtol1 {float(rtol1):.3e}, "
+          f"ir_rtol {float(ir_rtol):.3e} (compile+probe {compile_s:.1f}s)",
+          flush=True)
+
+    def march(pu, pv):
+        its, rels, times = [], [], []
+        for i in range(n_slabs):
+            t0 = _time.time()
+            x_ff, it, rs, cv, rnorm, bn, v_last = slab(pu, pv, i, rtol1,
+                                                       ir_rtol)
+            _ = float(x_ff[0][-1, 0, 0, 0])
+            times.append(_time.time() - t0)
+            rn2, bn2 = jit_verify(ffres, pu, pv, x_ff, fhi[i], flo[i])
+            rels.append(float(rn2) / float(bn2))
+            its.append(int(it))
+            pu = (x_ff[0][-1], x_ff[1][-1])
+            pv = v_last                      # ff pair from the stage
+        return np.array(times), np.array(rels), np.array(its)
+
+    t_all = _time.time()
+    times, rels, its = march(prev_u, prev_v)
+    warm_s = _time.time() - t_all
+    t0 = _time.time()
+    _ = float(jnp.sum(prev_u[0]))
+    readback = _time.time() - t0
+    times, rels, its = march(prev_u, prev_v)
+    elapsed = max(float(times.sum()) - n_slabs * readback, 1e-9)
+    st_dofs = int(np.prod(shape)) * n_slabs
+    val = st_dofs / elapsed
+    # the TRUE-residual contract for the pair: u satisfies the Schur slab
+    # system to <= 1e-8; v is the exact linear image of u (recovery)
+    conv = bool(np.all(rels <= 1e-8))
+    info = dict(problem="wave3d", cells=mesh.n_cells,
+                space_dofs=int(mesh.n_dofs(space_degree)),
+                n_blocks=int(n_blocks), slabs=n_slabs,
+                avg_iters=float(its.mean()),
+                true_rel_residual=float(rels.max()), converged=conv,
+                setup_s=round(setup_s, 2), compile_s=round(compile_s, 2),
+                warm_s=round(warm_s, 2), solve_s=round(elapsed, 3),
+                probe_floor=float(f"{floor:.3e}"))
+    print(json.dumps(info), flush=True)
+    if not conv:
+        print("# wave bench NOT converged -- metric withheld", flush=True)
+        return
+    print(json.dumps({
+        "metric": "stmg_wave_slab_solve_throughput_3d_q4_dg2",
+        "value": val,
+        "unit": "space-time DoF/s/chip (rel 1e-8 slab solves incl. "
+                "v-recovery)",
+        "vs_baseline": val / 1.0e9,
+    }), flush=True)
+
+
 def main():
+    _t_main0 = time.time()
     import jax
     import jax.numpy as jnp
 
@@ -682,6 +947,100 @@ def main():
         x0 = jnp.broadcast_to(prev_hi, shape)
         return jit_outer(matrix_, gmg_, rhs, x0, reltol)
 
+    # ---- fused whole-slab executable (round 4) ----
+    # The per-slab host loop previously dispatched 4 separate executables
+    # through the tunnel (rhs+first solve, ff residual, correction,
+    # update); everything in the ff path is native f32, so the WHOLE slab
+    # (rhs assembly -> Richardson first solve -> ff residual -> Richardson
+    # correction -> ff update) fuses into ONE program: 1 timed dispatch
+    # per slab instead of 4, and XLA schedules across the stage
+    # boundaries.  The probe reuses it with ir_rtol=2.0 (the correction
+    # converges immediately on the unit-scaled rhs) and reads the floor
+    # from rnorm/bnorm.  Only the default richardson+ff+1-pass config
+    # fuses; other configs keep the staged loop (STFEM_BENCH_FUSED=0
+    # forces staged).
+    # MEASURED round 4: the fused path is throughput-NEUTRAL (67.17 vs
+    # 67.13 MDoF/s at 16^3 -- the staged dispatches were already fully
+    # async-pipelined) while its cond+scan consolidation compiles ~10x
+    # slower through the remote compiler (487 s vs 50 s).  Default OFF;
+    # kept for A/B.
+    fused_ok = (outer == "richardson" and use_ir and ir_ff
+                and ir_passes == 1 and ir_rich == 0)
+    use_fused = fused_ok and os.environ.get("STFEM_BENCH_FUSED",
+                                            "0") == "1"
+
+    # NOTE: fusing the WHOLE slab into one program was measured-blocked:
+    # an XLA module containing TWO richardson while-loop V-cycle chains
+    # compiles pathologically through the remote compiler (>23 min vs
+    # ~45 s for the staged executables).  Instead ONE stage executable
+    # with a lax.cond prolog (rhs assembly | ff residual) feeds a SINGLE
+    # outer-solve chain: the V-cycle still compiles exactly once, and the
+    # timed host loop dispatches 2 programs per slab instead of 4.  The
+    # unified epilog x_ff = (x_base, 0) + rnorm * solution reduces to the
+    # plain first-solve result when x_base = 0, rnorm = 1.
+    @jax.jit
+    def jit_stage_fused(matrix_, rhs_matrix_, gmg_, force_, ffres_,
+                        prev_ff, x_base32, fhi, flo, t, reltol_, is_corr):
+        from stfem_tpu.ops.floatfloat import ff_add_f32
+        prev_hi = prev_ff[0]
+        one = jnp.asarray(1.0, jnp.float32)
+
+        def prolog_first(_):
+            rhs = rhs_matrix_.vmult(prev_hi[None]) + force_.batched(
+                t + jnp.asarray(t_offsets), jnp.asarray(f_scales))
+            x0 = jnp.broadcast_to(prev_hi, shape)
+            return rhs, x0, one, one
+
+        def prolog_corr(_):
+            x_ff = (x_base32, jnp.zeros_like(x_base32))
+            (r_hi, _r_lo), rnorm, bn = ffres_.residual(prev_ff, x_ff,
+                                                       (fhi, flo))
+            return r_hi / rnorm, jnp.zeros(shape, jnp.float32), rnorm, bn
+
+        rhs, x0, rnorm, bn = jax.lax.cond(is_corr, prolog_corr,
+                                          prolog_first, None)
+        res = outer_solve(matrix_, gmg_, rhs, x0, reltol_, bench_maxiter)
+        x_ff = ff_add_f32((x_base32, jnp.zeros_like(x_base32)),
+                          rnorm * res.x)
+        return x_ff, res.iterations, res.residual, res.converged, rnorm, bn
+
+    def jit_slab_fused(matrix_, rhs_matrix_, gmg_, force_, ffres_,
+                       prev_ff, fhi, flo, t, rtol1_, ir_rtol_):
+        zero = jnp.zeros(shape, jnp.float32)
+        xf1, it, rs, cv, _, _ = jit_stage_fused(
+            matrix_, rhs_matrix_, gmg_, force_, ffres_, prev_ff, zero,
+            fhi, flo, t, rtol1_, False)
+        x_ff, extra, _, _, rnorm, bn = jit_stage_fused(
+            matrix_, rhs_matrix_, gmg_, force_, ffres_, prev_ff, xf1[0],
+            fhi, flo, t, ir_rtol_, True)
+        return x_ff, it + extra, rs, cv, rnorm, bn
+
+    def march_fused(matrix_, rhs_matrix_, gmg_, force_, ffres_, fslabs_ff,
+                    prev_ff, t0_, n):
+        """One timed dispatch per slab (jit_slab_fused) + the untimed ff
+        verification; per-slab timing semantics identical to march_ff."""
+        its, rss, cvs, rels, times = [], [], [], [], []
+        prev, t = prev_ff, np.float32(t0_)
+        fhi, flo = fslabs_ff
+        for i in range(n):
+            t0 = time.time()
+            x_ff, it, rs, cv, _rn, _bn = jit_slab_fused(
+                matrix_, rhs_matrix_, gmg_, force_, ffres_, prev,
+                fhi[i], flo[i], t, rtol1, ir_rtol)
+            _ = float(x_ff[0][-1, 0, 0, 0])    # force completion
+            times.append(time.time() - t0)
+            # untimed ff verification (drained before the next window)
+            _r2, rn2, bn2 = jit_resid_ff(ffres_, prev, x_ff, fhi[i],
+                                         flo[i])
+            rels.append(float(rn2) / float(bn2))
+            its.append(it)
+            rss.append(rs)
+            cvs.append(cv)
+            prev = (x_ff[0][-1], x_ff[1][-1])
+            t = np.float32(t + tau * n_at_once)
+        return (prev, (np.array(times), np.array(rels)), jnp.stack(its),
+                jnp.stack(rss), jnp.stack(cvs))
+
     def march_ff(matrix_, rhs_matrix_, gmg_, force_, ffres_, fslabs_ff,
                  prev_ff, t0_, n):
         """IR march with the double-single residual engine: the f32 solve,
@@ -719,6 +1078,9 @@ def main():
         if not use_ir:
             return march_f32(matrix_, rhs_matrix_, gmg_, force_, m64_,
                              r64_, f64slabs, prev_x, t0_, n)
+        if ir_ff and use_fused:
+            return march_fused(matrix_, rhs_matrix_, gmg_, force_, m64_,
+                               f64slabs, prev_x, t0_, n)
         if ir_ff:
             return march_ff(matrix_, rhs_matrix_, gmg_, force_, m64_,
                             f64slabs, prev_x, t0_, n)
@@ -823,7 +1185,17 @@ def main():
         # glue-free maxiter bounds it) and reads the TRUE high-precision
         # relative residual: that IS the achievable f32 floor.
         t0 = time.time()
-        if ir_ff:
+        if ir_ff and use_fused:
+            # fused probe: reltol 1e-8 is unreachable (maxiter bounds the
+            # first solve); ir_rtol=2.0 makes the correction converge
+            # immediately, so rnorm/bnorm IS the post-first-solve floor
+            # and the ONLY heavy executable is the one the march reuses
+            _xp, _it, _rs, _cv, rnp, bnp = jit_slab_fused(
+                matrix, rhs_matrix, gmg, force, matrix64, prev,
+                f64slabs[0][0], f64slabs[1][0], np.float32(0.0),
+                np.float32(1e-8), np.float32(2.0))
+            probe_floor = float(rnp) / float(bnp)
+        elif ir_ff:
             x32p, _, _, _ = first_solve(matrix, rhs_matrix, gmg, force,
                                         prev[0], np.float32(0.0), 1e-8)
             x_ffp = (x32p, jnp.zeros_like(x32p))
@@ -847,6 +1219,7 @@ def main():
                   flush=True)
             outer = "fgmres"
             jit_outer = build_jit_outer(outer)
+            use_fused = False       # fused path is richardson-only
             if ir_ff:
                 x32p, _, _, _ = first_solve(matrix, rhs_matrix, gmg, force,
                                             prev[0], np.float32(0.0), 1e-8)
@@ -952,20 +1325,37 @@ def main():
                     rtol1=float(f"{rtol1:.3e}"),
                     ir_rtol=float(f"{ir_rtol:.3e}"))
     print(json.dumps(info), flush=True)
-    # secondary metric: 3D Stokes slab-solve throughput (VERDICT r2 #3).
-    # Printed BEFORE the headline heat metric so the driver's last-line
-    # parse keeps the heat number as the tracked metric.
-    # Default OFF for the driver run: the measured r3 numbers (STATUS.md)
-    # are 40 FGMRES iters at the cap / true 2.2e-3 / 632 s compile for the
-    # 3D 8^3 ntao=8 shape -- the 3D saddle-point smoother needs round-4
-    # tuning (rho(I-PA) = 1.35; scripts/stokes3d_lab.py), and the extra
-    # ~12 min would risk the driver's bench timeout.  STFEM_BENCH_STOKES=1
-    # opts in.
-    if os.environ.get("STFEM_BENCH_STOKES", "0") == "1":
-        try:
-            run_stokes_bench(jax, jnp, cpu, tpu_dev)
-        except Exception as e:
-            print(f"# stokes bench failed: {e!r}", flush=True)
+    # secondary metrics: 3D Stokes and 3D wave slab-solve throughput
+    # (VERDICT r3 #1/#5), printed BEFORE the headline heat metric so the
+    # driver's last-line parse keeps the heat number as the tracked
+    # metric.  Default ON since round 4: the 3D Stokes V-cycle is
+    # contractive after the space-ladder/pinv-coarse fixes (commit
+    # c3e760b) and the wave march reuses the heat executables' budget.
+    # STFEM_BENCH_STOKES=0 / STFEM_BENCH_WAVE=0 opt out.
+    # wall-clock budget guard: on a CONTENDED host/queue the secondary
+    # sections' compiles inflate 5-15x; skip them rather than risk the
+    # driver's bench timeout eating the heat headline (printed last).
+    budget_s = float(os.environ.get("STFEM_BENCH_BUDGET_S", "1100"))
+    if os.environ.get("STFEM_BENCH_STOKES", "1") == "1":
+        if time.time() - _t_main0 > budget_s:
+            print(f"# stokes bench skipped (elapsed "
+                  f"{time.time() - _t_main0:.0f}s > budget {budget_s:.0f})",
+                  flush=True)
+        else:
+            try:
+                run_stokes_bench(jax, jnp, cpu, tpu_dev)
+            except Exception as e:
+                print(f"# stokes bench failed: {e!r}", flush=True)
+    if os.environ.get("STFEM_BENCH_WAVE", "1") == "1":
+        if time.time() - _t_main0 > budget_s:
+            print(f"# wave bench skipped (elapsed "
+                  f"{time.time() - _t_main0:.0f}s > budget {budget_s:.0f})",
+                  flush=True)
+        else:
+            try:
+                run_wave_bench(jax, jnp, cpu, tpu_dev)
+            except Exception as e:
+                print(f"# wave bench failed: {e!r}", flush=True)
     print(json.dumps({
         "metric": "stmg_slab_solve_throughput_3d_heat_q4_dg2",
         "value": dofs_per_sec,

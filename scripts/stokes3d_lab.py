@@ -262,3 +262,11 @@ if __name__ == "__main__":
         run_rho(4, 2, ps, "FIXED 4^3 ntao2 (GMRES coarse)")
         run(8, 8, pd, "FIXED 8^3 ntao8 FGMRES", maxiter=30)
         run_rich(8, 8, pd, "FIXED 8^3 ntao8 RICH")
+
+    if which in ("all", "fixed8"):
+        pd = GMGParams(smoothing_range=5.0,
+                       coarse_grid_smoother_type="Direct",
+                       coarse_direct_pinv=True)
+        run(8, 8, pd, "FIXED8 8^3 ntao8 FGMRES", maxiter=40)
+        run_rich(8, 8, pd, "FIXED8 8^3 ntao8 RICH", maxiter=40)
+        run_rho(8, 4, pd, "FIXED8 8^3 ntao4 rho")

@@ -259,7 +259,8 @@ class FFSlabResidual:
     f32 flops per emulated FMA; no x64 ops anywhere.
     """
 
-    def __init__(self, K64, M64, Alpha, Beta, Gamma):
+    def __init__(self, K64, M64, Alpha, Beta, Gamma, Gamma_K=None,
+                 Gamma_v=None):
         from ..system import SystemMatrix
         from .kronfac import KronAssembled
         import jax.numpy as _jnp
@@ -270,23 +271,45 @@ class FFSlabResidual:
         struct = SystemMatrix._detect_step_structure(A_np, B_np)
         assert struct is not None, "FF residual needs the step structure"
         nt, A0, A1, B0, B1 = struct
-        assert not (np.any(A1[:, :-1]) or np.any(B1[:, :-1])), \
-            "step coupling must read only the previous last dof"
         self.nt = int(nt)
         self.n_blocks = int(A_np.shape[0])
-        A04 = np.concatenate([A1[:, -1:], A0], axis=1)
-        B04 = np.concatenate([B1[:, -1:], B0], axis=1)
+        # step coupling columns: [previous last dof] for the first-order
+        # tables, or the WHOLE previous step for the Schur-reduced wave
+        # tables (their coupling reads several of the previous step's
+        # dofs -- fe_time.h:444-474 wave expansion)
+        self.full_coupling = bool(np.any(A1[:, :-1]) or np.any(B1[:, :-1]))
+        if self.full_coupling:
+            A04 = np.concatenate([A1, A0], axis=1)
+            B04 = np.concatenate([B1, B0], axis=1)
+        else:
+            A04 = np.concatenate([A1[:, -1:], A0], axis=1)
+            B04 = np.concatenate([B1[:, -1:], B0], axis=1)
         self.A_ff = ff_from_f64(A04)
         self.B_ff = ff_from_f64(B04)
         # static nonzero masks for the trace-time zero-skip in ff_mix
         self.A_nz = A04 != 0.0
         self.B_nz = B04 != 0.0
         # previous-slab coupling: Gamma scales the MASS path and feeds only
-        # the FIRST step's rows (SystemMatrix rhs semantics)
+        # the FIRST step's rows (SystemMatrix rhs semantics).  Wave adds a
+        # K-path prev-u table (Gamma_K) and a second previous vector with
+        # an M-path table (Gamma_v): rhs = Gk (x) K u_prev
+        # + G (x) M u_prev + Gv (x) M v_prev + force.
         assert G_np.shape == (self.n_blocks, 1)
         assert not np.any(G_np[nt:]), "Gamma feeds only the first step"
         self.G_ff = ff_from_f64(G_np[:nt])
         self.G_nz = G_np[:nt] != 0.0
+        self.Gk_ff = self.Gk_nz = None
+        self.Gv_ff = self.Gv_nz = None
+        if Gamma_K is not None:
+            Gk = np.asarray(Gamma_K, np.float64)
+            assert Gk.shape == (self.n_blocks, 1) and not np.any(Gk[nt:])
+            self.Gk_ff = ff_from_f64(Gk[:nt])
+            self.Gk_nz = Gk[:nt] != 0.0
+        if Gamma_v is not None:
+            Gv = np.asarray(Gamma_v, np.float64)
+            assert Gv.shape == (self.n_blocks, 1) and not np.any(Gv[nt:])
+            self.Gv_ff = ff_from_f64(Gv[:nt])
+            self.Gv_nz = Gv[:nt] != 0.0
         kron64 = KronAssembled(K64, M64, _jnp.float64)
         # Kronecker engine: "mxu" routes the banded applies through
         # exact-sliced bf16 matmuls (ops/mxukron.py); "pallas9" routes them
@@ -309,12 +332,24 @@ class FFSlabResidual:
             self.kron = KronAssembledFF(kron64)
         self.mask = _jnp.asarray(np.asarray(K64.mask_np), _jnp.float32)
 
-    def rhs(self, prev_ff, fslab_ff):
-        """rhs = Gamma (x) M prev + force, in ff.  prev_ff: one dof grid;
-        fslab_ff: [n_blocks, *dofgrid] force pair."""
+    def rhs(self, prev_ff, fslab_ff, prev_v_ff=None):
+        """rhs = [Gk (x) K +] Gamma (x) M prev [+ Gv (x) M prev_v] + force,
+        in ff.  prev_ff: one dof grid; fslab_ff: [n_blocks, *dofgrid]
+        force pair."""
         pin = (prev_ff[0] * self.mask, prev_ff[1] * self.mask)
-        _, Mp = self.kron.pair(pin, need_K=False, need_M=True)
+        need_K = self.Gk_ff is not None
+        Kp, Mp = self.kron.pair(pin, need_K=need_K, need_M=True)
         coup = ff_mix(self.G_ff, (Mp[0][None], Mp[1][None]), self.G_nz)
+        if need_K:
+            coup = ff_add(coup, ff_mix(self.Gk_ff,
+                                       (Kp[0][None], Kp[1][None]),
+                                       self.Gk_nz))
+        if self.Gv_ff is not None:
+            vin = (prev_v_ff[0] * self.mask, prev_v_ff[1] * self.mask)
+            _, Mv = self.kron.pair(vin, need_K=False, need_M=True)
+            coup = ff_add(coup, ff_mix(self.Gv_ff,
+                                       (Mv[0][None], Mv[1][None]),
+                                       self.Gv_nz))
         coup = (coup[0] * self.mask, coup[1] * self.mask)
         # componentwise hi+hi would round at f32 -- the coupled rows need a
         # true ff add
@@ -323,7 +358,8 @@ class FFSlabResidual:
         lo = fslab_ff[1].at[: self.nt].set(head[1])
         return hi, lo
 
-    def residual(self, prev_ff, x_ff, fslab_ff, mode: str = "auto"):
+    def residual(self, prev_ff, x_ff, fslab_ff, mode: str = "auto",
+                 prev_v_ff=None):
         """r = rhs - A_slab x in ff; returns ((r_hi, r_lo), ||r||, ||rhs||)
         with f32 norms (tree-reduction accuracy ~1e-6 relative -- plenty
         for IR scaling and the 1e-8 verification).  mode: "auto" maps to
@@ -335,15 +371,22 @@ class FFSlabResidual:
         import jax as _jax
         import jax.numpy as _jnp
 
-        rhs_hi, rhs_lo = self.rhs(prev_ff, fslab_ff)
+        rhs_hi, rhs_lo = self.rhs(prev_ff, fslab_ff, prev_v_ff=prev_v_ff)
         nsteps = self.n_blocks // self.nt
         sshape = (nsteps, self.nt) + x_ff[0].shape[1:]
         xh = x_ff[0].reshape(sshape)
         xl = x_ff[1].reshape(sshape)
-        prev_h = _jnp.concatenate(
-            [_jnp.zeros_like(xh[:1, -1:]), xh[:-1, -1:]], axis=0)
-        prev_l = _jnp.concatenate(
-            [_jnp.zeros_like(xl[:1, -1:]), xl[:-1, -1:]], axis=0)
+        if self.full_coupling:
+            # coupling columns span the WHOLE previous step
+            prev_h = _jnp.concatenate(
+                [_jnp.zeros_like(xh[:1]), xh[:-1]], axis=0)
+            prev_l = _jnp.concatenate(
+                [_jnp.zeros_like(xl[:1]), xl[:-1]], axis=0)
+        else:
+            prev_h = _jnp.concatenate(
+                [_jnp.zeros_like(xh[:1, -1:]), xh[:-1, -1:]], axis=0)
+            prev_l = _jnp.concatenate(
+                [_jnp.zeros_like(xl[:1, -1:]), xl[:-1, -1:]], axis=0)
         xin_h = _jnp.concatenate([prev_h, xh], axis=1)
         xin_l = _jnp.concatenate([prev_l, xl], axis=1)
         rh = rhs_hi.reshape(sshape)

@@ -76,6 +76,19 @@ def _assemble_1d_dense(op1) -> np.ndarray:
     return A
 
 
+def _sharded_shifted() -> bool:
+    """STFEM_KRON_STYLE=shifted: banded pad+slice applies on every
+    backend.  Under a sharded spatial axis GSPMD lowers the shifted
+    slices to one-hop, surface-sized collective-permute halo exchanges
+    (the reference's ghost-exchange pattern, stmg.h:843-871), where the
+    dense per-axis matmul lowers to full-array gathers/partial-sum
+    all-reduces (measured on an 8-device CPU mesh: 14 collective-permutes
+    / 0 all-gather vs 0 / 1).  The sharded production path
+    (parallel/minibench.py) sets it."""
+    import os
+    return os.environ.get("STFEM_KRON_STYLE", "") == "shifted"
+
+
 @register_module
 class KronAssembled:
     """Per-axis assembled factors + the shared-prefix pair apply."""
@@ -123,7 +136,7 @@ class KronAssembled:
             A1np = _assemble_1d_dense(A1op)
             self.M1.append(jnp.asarray(M1np, dtype))
             self.A1.append(jnp.asarray(A1np, dtype))
-            if self._f64:
+            if self._f64 or _sharded_shifted():
                 # diagonal (banded) form for the emulated-f64 TPU apply:
                 # a dense 1D contraction in software double-double pays
                 # ~(nd/(2k+1))x more VPU ops than 2k+1 shifted elementwise
@@ -168,6 +181,9 @@ class KronAssembled:
         hardware dtypes keep the dense MXU matmuls."""
         import jax
 
+        if _sharded_shifted():
+            # sharded halo mode (see _sharded_shifted)
+            return self._pair_impl(x, need_K, need_M, banded=True)
         if not self._f64:
             return self._pair_impl(x, need_K, need_M, banded=False)
 

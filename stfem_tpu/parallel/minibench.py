@@ -53,6 +53,13 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
 
     if n_devices is None:
         n_devices = len(jax.devices())
+    # sharded halo mode: banded pad+slice kron applies, which GSPMD lowers
+    # to one-hop collective-permute halo exchanges instead of full-array
+    # all-reduces (ops/kronfac._sharded_shifted; VERDICT r3 #4).  Set
+    # BEFORE operator construction (the banded factors are built then);
+    # the single-device comparison uses the same style (exact parity).
+    import os as _os
+    _os.environ.setdefault("STFEM_KRON_STYLE", "shifted")
     refinement = int(np.log2(cells // 2))
     mesh = StructuredMesh([2] * 3, [0.0] * 3, [1.0] * 3,
                           refinement=refinement)

@@ -216,3 +216,52 @@ def test_mxu_kron_jit_parity():
     sM = float(np.max(np.abs(np.asarray(Mx))))
     np.testing.assert_allclose(np.asarray(ff_to_f64(Mf)), np.asarray(Mx),
                                atol=2e-13 * sM)
+
+
+def test_ff_wave_slab_residual_parity():
+    """FFSlabResidual with the Schur-reduced WAVE tables (full previous-
+    step coupling + K-path/velocity rhs tables) vs the f64 whole-slab
+    oracle -- the wave bench's IR residual engine."""
+    import jax
+
+    from stfem_tpu.ops.floatfloat import FFSlabResidual
+    from stfem_tpu.time.tables import get_fe_time_weights_wave
+
+    mesh = StructuredMesh([2, 2, 2], [0.0] * 3, [1.0] * 3, refinement=1)
+    deg, fe_deg, ntao = 3, 2, 4
+    tau = 1.0 / 16
+    K64 = LaplaceMassOperator(mesh, deg, deg + 1, 0.0, 1.0,
+                              dtype=jnp.float64)
+    M64 = LaplaceMassOperator(mesh, deg, deg + 1, 1.0, 0.0,
+                              dtype=jnp.float64)
+    A1, B1, G1, Z1 = get_fe_time_weights(TimeStepType.DG, fe_deg, tau, 1)
+    A_lhs, B_lhs, rhs_uK, rhs_uM, rhs_vM = get_fe_time_weights_wave(
+        TimeStepType.DG, A1, B1, G1, Z1, ntao)
+    full = SystemMatrix(K64, M64, A_lhs, B_lhs)
+    r_u = SystemMatrix(K64, M64, rhs_uK, rhs_uM)
+    r_v = SystemMatrix(K64, M64, np.zeros_like(rhs_vM), rhs_vM)
+
+    rng = np.random.default_rng(11)
+    nb = A_lhs.shape[0]
+    x = rng.standard_normal((nb,) + mesh.dof_shape(deg))
+    prev_u = rng.standard_normal(mesh.dof_shape(deg))
+    prev_v = rng.standard_normal(mesh.dof_shape(deg))
+    fslab = rng.standard_normal(x.shape)
+
+    rhs_ref = (np.asarray(r_u.vmult(jnp.asarray(prev_u)[None]))
+               + np.asarray(r_v.vmult(jnp.asarray(prev_v)[None])) + fslab)
+    r_ref = rhs_ref - np.asarray(full.vmult(jnp.asarray(x)))
+
+    ffres = FFSlabResidual(K64, M64, A_lhs, B_lhs, rhs_uM,
+                           Gamma_K=rhs_uK, Gamma_v=rhs_vM)
+    assert ffres.full_coupling
+    (rh, rl), rnorm, bnorm = jax.jit(ffres.residual)(
+        ff_from_f64(jnp.asarray(prev_u)), ff_from_f64(jnp.asarray(x)),
+        ff_from_f64(jnp.asarray(fslab)),
+        prev_v_ff=ff_from_f64(jnp.asarray(prev_v)))
+    r_got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    scale = np.linalg.norm(rhs_ref.reshape(-1))
+    err = np.linalg.norm((r_got - r_ref).reshape(-1)) / scale
+    assert err < 1e-12, err
+    np.testing.assert_allclose(float(rnorm),
+                               np.linalg.norm(r_ref.reshape(-1)), rtol=1e-5)

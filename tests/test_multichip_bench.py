@@ -27,5 +27,10 @@ def test_sharded_minibench_3d_parity():
     assert out["iter_parity"], out
     assert out["mesh"].get("z", 1) > 1 or n < 8, \
         f"z axis not sharded: {out['mesh']}"
-    assert sum(out["collectives"].values()) > 0, \
-        f"no collectives in the sharded HLO: {out['collectives']}"
+    # the communication PATTERN matters, not just its existence (VERDICT
+    # r3 #4/weak-5): the banded matvec halos must ride one-hop
+    # collective-permutes (the reference's surface-sized ghost exchange,
+    # stmg.h:843-871), not full-array partial-sum all-reduces
+    assert out["collectives"].get("collective-permute", 0) > 0, \
+        f"no halo collective-permutes in the sharded HLO: " \
+        f"{out['collectives']}"
