@@ -61,6 +61,20 @@ import time
 
 import numpy as np
 
+# every section's info + metric line is re-printed compactly at the END of
+# the run (heat metric last): the driver keeps only a bounded tail of the
+# bench output, and round 4's secondary sections pushed their own metric
+# lines (and the heat info line with setup_s) out of the captured artifact
+# (VERDICT r4 weak #2).  _emit prints immediately AND records for the
+# final summary block.
+_SUMMARY: list = []
+
+
+def _emit(line_obj):
+    line = json.dumps(line_obj)
+    print(line, flush=True)
+    _SUMMARY.append(line)
+
 
 def run_stokes_bench(jax, jnp, cpu, tpu_dev):
     """3D Stokes slab-solve throughput (VERDICT r2 #3): Q2^3 velocity x
@@ -116,9 +130,29 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
         matrix = StokesSystemMatrix(S, Mu, a, b)
         rhs_matrix = StokesSystemMatrix(S, Mu, a, b, gamma=None, zeta=g,
                                         type_=TimeStepType.DG)
+        # smoother A/B knobs (VERDICT r4 #1b, 3D h-growth levers):
+        # _STOKES_SMOOTHER=Chebyshev selects the Chebyshev wrapper with
+        # degree = _STOKES_STEPS (deal.II semantics), _STOKES_RANGE the
+        # smoothing range, _STOKES_INNER the relaxation inner sweeps,
+        # _STOKES_COARSE the coarse solver type (Direct|GMRES|Smoother).
+        from stfem_tpu.types import SupportedSmoothers as _SS
+        st_smoother = (_SS.Chebyshev if os.environ.get(
+            "STFEM_BENCH_STOKES_SMOOTHER", "Relaxation") == "Chebyshev"
+            else _SS.Relaxation)
+        _inner_env = os.environ.get("STFEM_BENCH_STOKES_INNER", "")
+        st_params = GMGParams(
+            smoother=st_smoother,
+            smoothing_range=float(os.environ.get(
+                "STFEM_BENCH_STOKES_RANGE", "5.0")),
+            smoothing_steps=int(os.environ.get(
+                "STFEM_BENCH_STOKES_STEPS", "1")),
+            smoother_inner_iterations=(int(_inner_env) if _inner_env
+                                       else None),
+            coarse_grid_smoother_type=os.environ.get(
+                "STFEM_BENCH_STOKES_COARSE", "Smoother"))
         gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
                                 viscosity=1.0, dtype=dtype,
-                                params=GMGParams(smoothing_range=5.0),
+                                params=st_params,
                                 fe_degree_min=1)
         T = nt * ntao
         # smooth body force at the Radau points of each step (diagonal
@@ -162,9 +196,27 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
         forces = jnp.stack([slab_force(i * tau * ntao)
                             for i in range(n_slabs)])
         prev0 = jnp.zeros(S.n_u + S.n_p, dtype)
+        # Stokes iterative refinement (VERDICT r4 #1a): the ff saddle
+        # residual engine (ops/ff_stokes.py) lifts the convergence bar
+        # from the f32 floor to TRUE rel <= 1e-8, heat-bench semantics.
+        # Under x64 (the heat IR default) the force assembly above is
+        # ALREADY the exact f64 quadrature (Sf/jxw/coords are f64), so
+        # its ff split is the high-precision force pair.
+        use_ir = (os.environ.get("STFEM_BENCH_STOKES_IR", "1") == "1"
+                  and bool(jax.config.jax_enable_x64))
+        ffres = None
+        if use_ir:
+            from stfem_tpu.ops.ff_stokes import build_ff_stokes_residual
+            from stfem_tpu.ops.floatfloat import ff_from_f64
+            S64 = StokesOperator(mesh, u_deg, p_deg, n_q, 1.0,
+                                 dtype=jnp.float64)
+            ffres = build_ff_stokes_residual(S64, a, b, zeta=g)
+            fhi, flo = ff_from_f64(forces.astype(jnp.float64))
     setup_s = _time.time() - t0
     matrix, rhs_matrix, gmg, forces, prev0 = jax.device_put(
         (matrix, rhs_matrix, gmg, forces, prev0), tpu_dev)
+    if use_ir:
+        ffres, fhi, flo = jax.device_put((ffres, fhi, flo), tpu_dev)
     detj = float(np.prod(mesh.h))
     vol = 1.0
 
@@ -224,6 +276,147 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
 
     jit_slab = jax.jit(solve_slab)
 
+    def mean_normalize(x):
+        """Remove the per-time-block mean pressure (DGP constant mode)."""
+        u_time, p_time = S.unpack(x)
+        means = jnp.sum(p_time[..., 0],
+                        axis=tuple(range(1, dim + 1))) * detj / vol
+        p_time = p_time.at[..., 0].add(-means.reshape((T,) + (1,) * dim))
+        return S.pack(u_time, p_time)
+
+    if use_ir:
+        # ---- heat-bench IR composition on the saddle system ----
+        # ONE stage executable with a lax.cond prolog (rhs assembly | ff
+        # residual) feeding the shared Richardson chain; probe slab 0
+        # measures the f32 floor and derives the tolerances; every slab
+        # is verified by an untimed ff residual; `converged` requires
+        # TRUE rel <= 1e-8 (reference accuracy, time_integrators.h:56-59).
+        from stfem_tpu.krylov import richardson_solve as _rich
+        from stfem_tpu.ops.floatfloat import ff_add_f32 as _ff_add_f32
+        n_flat = S.n_u + S.n_p
+
+        @jax.jit
+        def jit_stage_st(matrix_, rhs_matrix_, gmg_, ffres_, prev_ff,
+                         x_base32, fh, fl, reltol, is_corr):
+            one = jnp.asarray(1.0, jnp.float32)
+
+            def prolog_first(_):
+                pu = prev_ff[0][:S.n_u].reshape((dim,) + S.dof_shape_u)
+                pp = prev_ff[0][S.n_u:].reshape(S.p_shape)
+                rhs = (rhs_matrix_.vmult_slice(pu, pp).astype(jnp.float32)
+                       + fh)
+                x0 = jnp.broadcast_to(prev_ff[0], (T, n_flat))
+                return rhs, x0, one, one
+
+            def prolog_corr(_):
+                x_ff = (x_base32, jnp.zeros_like(x_base32))
+                (r_hi, _rl), rnorm, bn = ffres_.residual(prev_ff, x_ff,
+                                                         (fh, fl))
+                return (r_hi / rnorm, jnp.zeros((T, n_flat), jnp.float32),
+                        rnorm, bn)
+
+            rhs, x0, rnorm, bn = jax.lax.cond(is_corr, prolog_corr,
+                                              prolog_first, None)
+            mv = lambda v: matrix_.vmult(v).astype(jnp.float32)
+            pc = lambda v: gmg_.vmult(v).astype(jnp.float32)
+            res = _rich(mv, rhs, x0, pc, maxiter=maxiter, abstol=1e-30,
+                        reltol=reltol)
+            x_ff = _ff_add_f32((x_base32, jnp.zeros_like(x_base32)),
+                               rnorm * res.x)
+            return x_ff, res.iterations, res.residual, rnorm, bn
+
+        @jax.jit
+        def jit_verify_st(ffres_, prev_ff, x_ff, fh, fl):
+            _r, rn, bn = ffres_.residual(prev_ff, x_ff, (fh, fl))
+            return rn, bn
+
+        @jax.jit
+        def jit_carry_st(x_ff):
+            # next-slab previous value: LAST time block, mean-normalized
+            # pressure (the hi/lo shift by a constant stays exact enough:
+            # only u_prev enters the DG rhs coupling; p_prev is inert)
+            xn = mean_normalize(x_ff[0])
+            return (xn[-1], x_ff[1][-1])
+
+        def slab_ir(prev_ff, i, rtol1_, ir_rtol_):
+            zero = jnp.zeros((T, n_flat), jnp.float32)
+            xf1, it, rs, _, _ = jit_stage_st(
+                matrix, rhs_matrix, gmg, ffres, prev_ff, zero,
+                fhi[i], flo[i], rtol1_, False)
+            x_ff, extra, _, rnorm, bn = jit_stage_st(
+                matrix, rhs_matrix, gmg, ffres, prev_ff, xf1[0],
+                fhi[i], flo[i], ir_rtol_, True)
+            return x_ff, it + extra, rnorm, bn
+
+        # probe slab 0: floor + derived tolerances (+ all compiles)
+        t0 = _time.time()
+        _x, _it, rnp_, bnp_ = slab_ir((prev0, jnp.zeros_like(prev0)), 0,
+                                      np.float32(1e-8), np.float32(2.0))
+        floor = float(rnp_) / float(bnp_)
+        compile_s = _time.time() - t0
+        if not np.isfinite(floor) or floor > 1e-3:
+            print(f"# stokes IR probe floor {floor:.3e} (non-contractive "
+                  f"V-cycle?) -- falling back to the f32-only path",
+                  flush=True)
+            use_ir = False
+        else:
+            rtol1 = np.float32(max(1.4 * floor, 1e-8))
+            ir_rtol = np.float32(min(max(0.5e-8 / max(floor, 1e-12),
+                                         1e-7), 2e-3))
+            print(f"# stokes probe: floor {floor:.3e} -> rtol1 "
+                  f"{float(rtol1):.3e}, ir_rtol {float(ir_rtol):.3e} "
+                  f"(compile+probe {compile_s:.1f}s)", flush=True)
+
+    if use_ir:
+        def march_ir():
+            prev = (prev0, jnp.zeros_like(prev0))
+            its, rels, times = [], [], []
+            for i in range(n_slabs):
+                t0 = _time.time()
+                x_ff, it, rnorm, bn = slab_ir(prev, i, rtol1, ir_rtol)
+                _ = float(x_ff[0][-1, 0])
+                times.append(_time.time() - t0)
+                rn2, bn2 = jit_verify_st(ffres, prev, x_ff, fhi[i],
+                                         flo[i])
+                rels.append(float(rn2) / float(bn2))
+                its.append(int(it))
+                prev = jit_carry_st(x_ff)
+            return np.array(times), np.array(rels), np.array(its)
+
+        t0 = _time.time()
+        times, rels, its = march_ir()
+        warm_s = _time.time() - t0
+        t0 = _time.time()
+        _ = float(jnp.sum(prev0))
+        readback = _time.time() - t0
+        times, rels, its = march_ir()
+        elapsed = max(float(times.sum()) - n_slabs * readback,
+                      0.1 * float(times.sum()), 1e-9)
+        st_dofs = (S.n_u + S.n_p) * T * n_slabs
+        val = st_dofs / elapsed
+        conv = bool(np.all(rels <= 1e-8))
+        info = dict(problem="stokes3d", cells=mesh.n_cells,
+                    u_dofs=int(S.n_u), p_dofs=int(S.n_p), n_blocks=int(T),
+                    slabs=n_slabs, avg_iters=float(its.mean()),
+                    true_rel_residual=float(rels.max()), converged=conv,
+                    setup_s=round(setup_s, 2),
+                    compile_s=round(compile_s, 2),
+                    warm_s=round(warm_s, 2), solve_s=round(elapsed, 3),
+                    probe_floor=float(f"{floor:.3e}"))
+        _emit(info)
+        if not conv:
+            print("# stokes bench NOT converged -- metric withheld",
+                  flush=True)
+            return
+        _emit({
+            "metric": "stmg_stokes_slab_solve_throughput_3d_q2_dgp1_dg1",
+            "value": val,
+            "unit": "space-time DoF/s/chip (TRUE rel 1e-8 slab solves, "
+                    "ff-IR)",
+            "vs_baseline": val / 1.0e9,
+        })
+        return
+
     def march(prev_flat):
         outs = []
         prev = prev_flat
@@ -256,14 +449,14 @@ def run_stokes_bench(jax, jnp, cpu, tpu_dev):
                 converged=bool(np.all(np.asarray(cvs))),
                 setup_s=round(setup_s, 2), compile_s=round(compile_s, 2),
                 solve_s=round(elapsed, 3))
-    print(json.dumps(info), flush=True)
-    print(json.dumps({
+    _emit(info)
+    _emit({
         "metric": "stmg_stokes_slab_solve_throughput_3d_q2_dgp1_dg1",
         "value": val,
         "unit": "space-time DoF/s/chip (f32 slab solves, "
                 "true rel <= 1e-5)",
         "vs_baseline": val / 1.0e9,
-    }), flush=True)
+    })
 
 
 def run_wave_bench(jax, jnp, cpu, tpu_dev):
@@ -432,7 +625,12 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
             prev_u_[0], (1, 1) + shape[1:]), u[:-1, -1:]], axis=0)
         v = (jnp.einsum("ij,sj...->si...", AixB, u)
              + AixG[:, :1].reshape((1, nt) + (1,) * dim) * pu)
-        del v  # timed-window parity with the reference's full recovery
+        # a reduced checksum of the dense recovery is RETURNED so XLA
+        # cannot dead-code-eliminate it (ADVICE r4: `del v` made the
+        # all-timesteps recovery vanish from the compiled program while
+        # the metric unit claimed it ran); the callers ignore the value
+        # but every jit output is materialized
+        v_chk = jnp.sum(v)
         vl = None
         for j in range(nt):
             blk = n_blocks - nt + j
@@ -443,7 +641,7 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
                    if ntao > 1 else prev_u_)
         vl = ff_add(vl, ff_mul((AixG_ff[0], AixG_ff[1]), pu_last))
         return (x_ff, res.iterations, res.residual, res.converged, rnorm,
-                bn, vl)
+                bn, vl, v_chk)
 
     @jax.jit
     def jit_verify(ffres_, prev_u_, prev_v_, x_ff, fh, fl):
@@ -453,10 +651,10 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
 
     def slab(prev_u_, prev_v_, i, rtol1_, ir_rtol_):
         zero = jnp.zeros(shape, jnp.float32)
-        xf1, it, rs, cv, _, _, _ = jit_stage(
+        xf1, it, rs, cv, _, _, _, _ = jit_stage(
             matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, zero,
             fhi[i], flo[i], rtol1_, False)
-        x_ff, extra, _, _, rnorm, bn, v_last = jit_stage(
+        x_ff, extra, _, _, rnorm, bn, v_last, _vchk = jit_stage(
             matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, xf1[0],
             fhi[i], flo[i], ir_rtol_, True)
         return x_ff, it + extra, rs, cv, rnorm, bn, v_last
@@ -478,6 +676,27 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
     print(f"# wave probe: floor {floor:.3e} -> rtol1 {float(rtol1):.3e}, "
           f"ir_rtol {float(ir_rtol):.3e} (compile+probe {compile_s:.1f}s)",
           flush=True)
+    # one-slab v-recovery oracle (ADVICE r4): the bench's converged check
+    # verifies u against a rhs BUILT FROM the recovered v, so a wrong
+    # recovery table would propagate silently; cross-check the probe
+    # slab's recovered last-step v against the dense f64 recovery
+    # Ainv@B u + Ainv@G u_prev (host numpy, untimed)
+    u64o = (np.asarray(jax.device_get(_x[0]), np.float64)
+            + np.asarray(jax.device_get(_x[1]), np.float64)
+            ).reshape((ntao, nt) + shape[1:])
+    prev_u64o = (np.asarray(jax.device_get(prev_u[0]), np.float64)
+                 + np.asarray(jax.device_get(prev_u[1]), np.float64))
+    pu_last64 = u64o[-2, -1] if ntao > 1 else prev_u64o
+    v_oracle = (np.einsum("j,j...->...", AixB64[-1], u64o[-1])
+                + AixG64[-1, 0] * pu_last64)
+    vff = (np.asarray(jax.device_get(_vl[0]), np.float64)
+           + np.asarray(jax.device_get(_vl[1]), np.float64))
+    v_rel = (np.linalg.norm((vff - v_oracle).reshape(-1))
+             / max(np.linalg.norm(v_oracle.reshape(-1)), 1e-300))
+    print(f"# wave v-recovery vs dense f64 oracle: rel {v_rel:.2e}",
+          flush=True)
+    assert v_rel < 1e-9, \
+        f"wave ff v-recovery deviates from the f64 oracle: {v_rel:.3e}"
 
     def march(pu, pv):
         its, rels, times = [], [], []
@@ -518,17 +737,17 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
                 setup_s=round(setup_s, 2), compile_s=round(compile_s, 2),
                 warm_s=round(warm_s, 2), solve_s=round(elapsed, 3),
                 probe_floor=float(f"{floor:.3e}"))
-    print(json.dumps(info), flush=True)
+    _emit(info)
     if not conv:
         print("# wave bench NOT converged -- metric withheld", flush=True)
         return
-    print(json.dumps({
+    _emit({
         "metric": "stmg_wave_slab_solve_throughput_3d_q4_dg2",
         "value": val,
         "unit": "space-time DoF/s/chip (rel 1e-8 slab solves incl. "
                 "v-recovery)",
         "vs_baseline": val / 1.0e9,
-    }), flush=True)
+    })
 
 
 def main():
@@ -1340,7 +1559,7 @@ def main():
                     probe_floor=float(f"{probe_floor:.3e}"),
                     rtol1=float(f"{rtol1:.3e}"),
                     ir_rtol=float(f"{ir_rtol:.3e}"))
-    print(json.dumps(info), flush=True)
+    _emit(info)
     # secondary metrics: 3D Stokes and 3D wave slab-solve throughput
     # (VERDICT r3 #1/#5), printed BEFORE the headline heat metric so the
     # driver's last-line parse keeps the heat number as the tracked
@@ -1372,6 +1591,14 @@ def main():
                 run_wave_bench(jax, jnp, cpu, tpu_dev)
             except Exception as e:
                 print(f"# wave bench failed: {e!r}", flush=True)
+    # compact end-of-run summary: every section's info + metric line again
+    # so the driver's bounded output tail captures ALL of them; the heat
+    # metric is the very last line (the driver parses the last line as the
+    # tracked metric)
+    print("# ---- bench summary (all sections; heat metric last) ----",
+          flush=True)
+    for line in _SUMMARY:
+        print(line, flush=True)
     print(json.dumps({
         "metric": "stmg_slab_solve_throughput_3d_heat_q4_dg2",
         "value": dofs_per_sec,

@@ -117,13 +117,27 @@ def main(argv=None):
             results[cid] = {"rc": rc, "seconds": round(dt, 1)}
             print(f"{cid}: rc={rc} ({dt:.0f}s)", flush=True)
     summary_path = args.summary or args.out.replace(".txt", ".json")
+    # CUMULATIVE summary (VERDICT r4 weak #5): merge any existing summary
+    # at the same path (earlier batches run with --only, resumed rounds)
+    # with this invocation's results, so ONE JSON lists every case ever
+    # recorded with its latest rc -- the canonical per-round artifact.
+    merged = {}
+    if os.path.exists(summary_path):
+        try:
+            merged = json.load(open(summary_path)).get("cases", {})
+        except Exception:
+            merged = {}
+    merged.update(results)
     with open(summary_path, "w") as f:
-        json.dump({"n_cases": len(results),
-                   "n_pass": sum(1 for r in results.values()
+        json.dump({"n_cases": len(merged),
+                   "n_pass": sum(1 for r in merged.values()
                                  if r["rc"] == 0),
-                   "cases": results}, f, indent=1)
+                   "cases": merged}, f, indent=1)
     bad = {c: r for c, r in results.items() if r["rc"] != 0}
-    print(f"PASS {len(results) - len(bad)}/{len(results)}"
+    print(f"PASS {len(results) - len(bad)}/{len(results)} this run; "
+          f"summary {summary_path}: "
+          f"{sum(1 for r in merged.values() if r['rc'] == 0)}"
+          f"/{len(merged)} cumulative"
           + (f"  FAILED: {sorted(bad)}" if bad else ""))
     return 1 if bad else 0
 

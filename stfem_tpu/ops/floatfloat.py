@@ -260,7 +260,13 @@ class FFSlabResidual:
     """
 
     def __init__(self, K64, M64, Alpha, Beta, Gamma, Gamma_K=None,
-                 Gamma_v=None):
+                 Gamma_v=None, kron_ff=None, mask=None):
+        """K64/M64: f64 LaplaceMassOperators (ignored when kron_ff is
+        given).  kron_ff: a prebuilt ff Kronecker-like engine exposing
+        pair(xff, need_K, need_M) -- the Stokes saddle engine
+        (ops/ff_stokes.KronStokesFF) injects itself here, with `mask` the
+        matching flat constraint mask; the heat/wave path builds the
+        banded scalar engine from K64/M64."""
         from ..system import SystemMatrix
         from .kronfac import KronAssembled
         import jax.numpy as _jnp
@@ -310,6 +316,10 @@ class FFSlabResidual:
             assert Gv.shape == (self.n_blocks, 1) and not np.any(Gv[nt:])
             self.Gv_ff = ff_from_f64(Gv[:nt])
             self.Gv_nz = Gv[:nt] != 0.0
+        if kron_ff is not None:
+            self.kron = kron_ff
+            self.mask = _jnp.asarray(np.asarray(mask), _jnp.float32)
+            return
         kron64 = KronAssembled(K64, M64, _jnp.float64)
         # Kronecker engine: "mxu" routes the banded applies through
         # exact-sliced bf16 matmuls (ops/mxukron.py); "pallas9" routes them

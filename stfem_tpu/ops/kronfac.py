@@ -83,8 +83,11 @@ def _sharded_shifted() -> bool:
     (the reference's ghost-exchange pattern, stmg.h:843-871), where the
     dense per-axis matmul lowers to full-array gathers/partial-sum
     all-reduces (measured on an 8-device CPU mesh: 14 collective-permutes
-    / 0 all-gather vs 0 / 1).  The sharded production path
-    (parallel/minibench.py) sets it."""
+    / 0 all-gather vs 0 / 1).  The env knob is an A/B override only --
+    the sharded production path flips `force_banded` programmatically
+    (parallel.sharding.enable_halo_mode, auto-run by
+    install_level_shardings), so no env state leaks across tests
+    (ADVICE r4).  Read ONCE at construction, never per call."""
     import os
     return os.environ.get("STFEM_KRON_STYLE", "") == "shifted"
 
@@ -113,6 +116,12 @@ class KronAssembled:
         self.dim = dim
         self.k = k
         self._f64 = np.dtype(dtype) == np.float64
+        # style captured ONCE here (ADVICE r4: pair() must not re-read the
+        # env -- a mid-life flip would find Md/Ad missing).  force_banded
+        # is the programmatic halo-mode switch for sharded runs
+        # (parallel.sharding.enable_halo_mode).
+        self._shifted = _sharded_shifted()
+        self.force_banded = False
         self.M1, self.A1 = [], []
         self.Md, self.Ad = [], []
         for d in range(dim):
@@ -136,13 +145,15 @@ class KronAssembled:
             A1np = _assemble_1d_dense(A1op)
             self.M1.append(jnp.asarray(M1np, dtype))
             self.A1.append(jnp.asarray(A1np, dtype))
-            if self._f64 or _sharded_shifted():
-                # diagonal (banded) form for the emulated-f64 TPU apply:
-                # a dense 1D contraction in software double-double pays
-                # ~(nd/(2k+1))x more VPU ops than 2k+1 shifted elementwise
-                # FMAs (measured 4.4x at Q4/16^3, scripts/banded64_lab.py)
-                self.Md.append(jnp.asarray(_to_diags(M1np, k), dtype))
-                self.Ad.append(jnp.asarray(_to_diags(A1np, k), dtype))
+            # diagonal (banded) form, ALWAYS built (it is (2k+1, nd) --
+            # negligible storage): used by the emulated-f64 TPU apply
+            # (a dense 1D contraction in software double-double pays
+            # ~(nd/(2k+1))x more VPU ops than 2k+1 shifted elementwise
+            # FMAs, measured 4.4x at Q4/16^3, scripts/banded64_lab.py) and
+            # by the sharded halo mode, which may be enabled AFTER
+            # construction (enable_halo_mode)
+            self.Md.append(jnp.asarray(_to_diags(M1np, k), dtype))
+            self.Ad.append(jnp.asarray(_to_diags(A1np, k), dtype))
 
     def _pair_impl(self, x, need_K: bool, need_M: bool, banded: bool):
         from .gridsumfac import axis_apply
@@ -181,8 +192,8 @@ class KronAssembled:
         hardware dtypes keep the dense MXU matmuls."""
         import jax
 
-        if _sharded_shifted():
-            # sharded halo mode (see _sharded_shifted)
+        if self.force_banded or self._shifted:
+            # sharded halo mode (see _sharded_shifted / enable_halo_mode)
             return self._pair_impl(x, need_K, need_M, banded=True)
         if not self._f64:
             return self._pair_impl(x, need_K, need_M, banded=False)

@@ -53,13 +53,6 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
 
     if n_devices is None:
         n_devices = len(jax.devices())
-    # sharded halo mode: banded pad+slice kron applies, which GSPMD lowers
-    # to one-hop collective-permute halo exchanges instead of full-array
-    # all-reduces (ops/kronfac._sharded_shifted; VERDICT r3 #4).  Set
-    # BEFORE operator construction (the banded factors are built then);
-    # the single-device comparison uses the same style (exact parity).
-    import os as _os
-    _os.environ.setdefault("STFEM_KRON_STYLE", "shifted")
     refinement = int(np.log2(cells // 2))
     mesh = StructuredMesh([2] * 3, [0.0] * 3, [1.0] * 3,
                           refinement=refinement)
@@ -105,6 +98,16 @@ def run_sharded_minibench(n_devices: int | None = None, cells: int = 8,
     matrix64 = SystemMatrix(K64, M64, A04, B04)
     rhs_matrix64 = SystemMatrix(K64, M64, np.zeros_like(Gamma),
                                 np.asarray(Gamma, np.float64))
+    # sharded halo mode, PROGRAMMATIC (ADVICE r4: no process-global env
+    # mutation): flip every Kronecker apply to the banded pad+slice form,
+    # which GSPMD lowers to one-hop collective-permute halo exchanges
+    # instead of full-array all-reduces (ops/kronfac, VERDICT r3 #4).
+    # Enabled BEFORE the single-device comparison run so the two runs use
+    # the identical apply form (exact iteration parity); the GMG gets it
+    # again (idempotently) from install_level_shardings below.
+    from .sharding import enable_halo_mode
+    enable_halo_mode(matrix, rhs_matrix, matrix64, rhs_matrix64, gmg,
+                     force)
     shape = (n_blocks,) + mesh.dof_shape(space_degree)
 
     tq = get_time_quad(TimeStepType.DG, fe_degree)[0]

@@ -215,8 +215,14 @@ class GMG:
             # measured root cause of the non-contractive 3D Stokes V-cycle
             # (rho(I-PA) 1.198 with GMRES(10) coarse vs 1.0-with-clean-
             # spectrum with the exact solve; scripts/stokes_spectrum_lab.py)
-            return jnp.linalg.pinv(A.astype(jnp.float64),
-                                   rcond=1e-10).astype(jnp.float32)
+            # host numpy pinv: ALWAYS true f64 regardless of
+            # jax_enable_x64 (ADVICE r4: jnp astype(f64) is a silent no-op
+            # with x64 off, and f32 SVD noise ~1e-7*smax sits above the
+            # 1e-10 rcond, so the near-null directions would NOT be
+            # truncated -- defeating the fix this pinv exists for)
+            A64 = np.asarray(jax.device_get(A), np.float64)
+            return jnp.asarray(np.linalg.pinv(A64, rcond=1e-10),
+                               jnp.float32)
         return jnp.linalg.inv(A)
 
     def _steps2(self, level: int) -> int:

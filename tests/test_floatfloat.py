@@ -188,6 +188,43 @@ def test_ff_pallas_kernel_interpret_parity():
     np.testing.assert_allclose(M_ker, M_ref, atol=1e-12)
 
 
+def test_ff_pallas9_interpret_parity():
+    """KronPallas9 (single-apply 9-roll Mosaic kernel, ops/pallas_ffband)
+    in interpret mode vs the XLA ff oracle -- the engine is reachable via
+    STFEM_FF_KRON=pallas9 (floatfloat.py) so it must stay numerically
+    exact even while default-off (VERDICT r4 weak #6)."""
+    from stfem_tpu.ops.pallas_ffband import KronPallas9
+
+    mesh = StructuredMesh([2, 2, 2], [0.0] * 3, [1.0] * 3, refinement=0)
+    deg = 3
+    K64 = LaplaceMassOperator(mesh, deg, deg + 1, 0.0, 1.0,
+                              dtype=jnp.float64)
+    M64 = LaplaceMassOperator(mesh, deg, deg + 1, 1.0, 0.0,
+                              dtype=jnp.float64)
+    kron = KronAssembled(K64, M64, jnp.float64)
+    kp9 = KronPallas9(kron, interpret=True)
+    assert kp9._cubic
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2,) + mesh.dof_shape(deg))
+    xff = ff_from_f64(jnp.asarray(x))
+    (Kh, Kl), (Mh, Ml) = kp9.base._pair_xla(xff)
+    (Kh2, Kl2), (Mh2, Ml2) = kp9.pair(xff)
+    K_ref = np.asarray(ff_to_f64((Kh, Kl)))
+    K_ker = np.asarray(ff_to_f64((Kh2, Kl2)))
+    M_ref = np.asarray(ff_to_f64((Mh, Ml)))
+    M_ker = np.asarray(ff_to_f64((Mh2, Ml2)))
+    scale = np.max(np.abs(K_ref))
+    np.testing.assert_allclose(K_ker, K_ref, atol=1e-12 * scale)
+    np.testing.assert_allclose(M_ker, M_ref, atol=1e-12)
+    # need_K / need_M slicing parity (the pair() flat-unpack routing)
+    Konly, _ = kp9.pair(xff, need_K=True, need_M=False)
+    _, Monly = kp9.pair(xff, need_K=False, need_M=True)
+    np.testing.assert_allclose(np.asarray(ff_to_f64(Konly)), K_ref,
+                               atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(ff_to_f64(Monly)), M_ref,
+                               atol=1e-12)
+
+
 def test_mxu_kron_jit_parity():
     """KronMXU (exact-sliced bf16 matmuls, ops/mxukron.py) vs the ff
     oracle UNDER JIT -- the integer-slice exactness must survive XLA
