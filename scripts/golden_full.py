@@ -86,7 +86,9 @@ def main(argv=None):
     ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_FULL.txt"))
     ap.add_argument("--summary", default="")
     ap.add_argument("--nice", type=int, default=10)
-    ap.add_argument("--timeout", type=int, default=5400)
+    # tf02stokes-k4 (2D Q5 x DGP4) legitimately needs >65 min: its XLA:CPU
+    # modules compile at >7 min each (r4 artifact) -- budget 3 h per case
+    ap.add_argument("--timeout", type=int, default=10800)
     args = ap.parse_args(argv)
 
     cases = collect_cases()

@@ -48,6 +48,11 @@ CONFIGS = {
     "cheb5d2": dict(smoother=SupportedSmoothers.Chebyshev,
                     smoothing_range=5.0, smoother_inner_iterations=2),
     "steps2": dict(smoothing_steps=2),
+    "steps2inner2": dict(smoothing_steps=2, smoother_inner_iterations=2),
+    "steps3": dict(smoothing_steps=3),
+    "cheb5d2steps2": dict(smoother=SupportedSmoothers.Chebyshev,
+                          smoothing_range=5.0,
+                          smoother_inner_iterations=2, smoothing_steps=2),
 }
 
 
@@ -62,7 +67,7 @@ def build(cells, ntao, cfg, dim=3, k=1, u_deg=2, p_deg=1, n_q=3,
                              mask=S.mask_u_np)
     a, b, g, z = get_fe_time_weights(TimeStepType.DG, k, tau, ntao)
     matrix = StokesSystemMatrix(S, Mu, a, b)
-    params = GMGParams(smoothing_range=5.0, **cfg)
+    params = GMGParams(**{"smoothing_range": 5.0, **cfg})
     gmg = build_stmg_stokes(mesh, k, TimeStepType.DG, ntao, tau,
                             viscosity=1.0, dtype=dtype, params=params,
                             fe_degree_min=1)

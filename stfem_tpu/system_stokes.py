@@ -86,7 +86,23 @@ class StokesSystemMatrix:
         gamma couples the Stokes operator (CGP only; also drives the p row),
         zeta couples the velocity mass (CGP: Zeta; DG: the jump column which
         the scalar tables store in the Gamma slot).
+
+        Runs under the same matmul-precision guard as vmult: on TPU the
+        default bf16 matmul precision puts a ~1e-4 relative error into the
+        rhs, which silently floors the WHOLE slab solve at 1e-4 true
+        residual on every slab with a nonzero previous value (root-caused
+        round 5: the f32 outer converges on the polluted rhs while the ff
+        true residual reads the 1.55e-4 rhs mismatch).
         """
+        import jax
+
+        if self.precision is not None:
+            with jax.default_matmul_precision(self.precision):
+                return self._vmult_slice_impl(prev_u, prev_p, mask_input)
+        return self._vmult_slice_impl(prev_u, prev_p, mask_input)
+
+    def _vmult_slice_impl(self, prev_u: jnp.ndarray, prev_p: jnp.ndarray,
+                          mask_input: bool = True) -> jnp.ndarray:
         S = self.S
         T = self.T
         dst_u = jnp.zeros((T, S.dim) + tuple(S.dof_shape_u), self.dtype)
