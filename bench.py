@@ -505,17 +505,19 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
 
     # default 8^3: the wave hierarchy cannot use the heat bench's proxy
     # eigenvalue estimates (the Schur-reduced tables make lambda_max(PA)
-    # h-DEPENDENT: the 4^3-proxy omegas stall the 16^3 first solve at rel
-    # 1.7e-2 where full-level estimates reach the normal 1.6e-5 f32
-    # floor), and the full-level estimates push the 16^3 wave setup to
-    # ~440 s -- past the driver budget.  Measured 16^3 point (round 4):
-    # 6.05 MDoF/s, true 2.75e-9/slab, 31 avg iters (h-growth vs 8^3's 18
-    # is a round-5 smoother item).  STFEM_BENCH_WAVE_CELLS=16 reproduces.
+    # h/domain-DEPENDENT), so estimates run on the full levels -- as
+    # deal.II 20-step POWER iterations (round 5; the converged host-side
+    # Arnoldi was the 440-598 s setup wall).  Round-5 measured points
+    # (one v5e, ntao=16, power eig): 8^3 setup 75.6 s, 27.75 avg iters,
+    # TRUE 5.8e-9, 57.5 MDoF/s; 16^3 converges too (54.75 iters, true
+    # 7.7e-9 -- h-growth ~2x, setup ~12 min under host contention).
+    # STFEM_BENCH_WAVE_CELLS=16 reproduces the capacity point.
     cells = int(os.environ.get("STFEM_BENCH_WAVE_CELLS", "8"))
-    # ntao=16: the wave composition is tau-robust to 16 steps at once
-    # (8^3: 18 iters, true 3.0e-9) but DIVERGES at 32 (measured round 4;
-    # heat is tau-robust through 32/64 -- wave tau-robustness at large
-    # slabs is a round-5 smoother item)
+    # ntao=16: the wave composition is tau-robust to 16 steps at once but
+    # STALLS at 32 in 3D (probe floor 0.17; inner=3 / range=4 measured
+    # no-fix/diverge at 16^3 -- the 2D lab's rho gains do not transfer;
+    # heat is tau-robust through 32/64).  The reference's own wave
+    # evidence is ntao=1 only (tf07/tf08.json).
     ntao = int(os.environ.get("STFEM_BENCH_WAVE_NTAO", "16"))
     n_slabs = int(os.environ.get("STFEM_BENCH_WAVE_SLABS", "6"))
     maxiter = int(os.environ.get("STFEM_BENCH_WAVE_MAXITER", "40"))
@@ -675,15 +677,19 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
                                      prev_v_ff=prev_v_)
         return rn, bn
 
-    def slab(prev_u_, prev_v_, i, rtol1_, ir_rtol_):
+    def slab(prev_u_, prev_v_, i, rtol1_, ir_rtol_, n_corr=1):
         zero = jnp.zeros(shape, jnp.float32)
         xf1, it, rs, cv, _, _, _, _ = jit_stage(
             matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, zero,
             fhi[i], flo[i], rtol1_, False)
-        x_ff, extra, _, _, rnorm, bn, v_last, _vchk = jit_stage(
-            matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, xf1[0],
-            fhi[i], flo[i], ir_rtol_, True)
-        return x_ff, it + extra, rs, cv, rnorm, bn, v_last
+        x_ff = xf1
+        rnorm = bn = v_last = None
+        for _c in range(n_corr):
+            x_ff, extra, _, _, rnorm, bn, v_last, _vchk = jit_stage(
+                matrix, r_u, r_v, gmg, ffres, prev_u_, prev_v_, x_ff[0],
+                fhi[i], flo[i], ir_rtol_, True)
+            it = it + extra
+        return x_ff, it, rs, cv, rnorm, bn, v_last
 
     # probe slab 0: floor + derived tolerances (heat-bench semantics)
     t0 = _time.time()
@@ -724,12 +730,19 @@ def run_wave_bench(jax, jnp, cpu, tpu_dev):
     assert v_rel < 1e-9, \
         f"wave ff v-recovery deviates from the f64 oracle: {v_rel:.3e}"
 
+    # a single correction pass must bridge floor -> 1e-8; when the first
+    # solve stalls high (floor > 1e-3, e.g. marginal smoother configs at
+    # 16^3) the required ratio exceeds what one pass reliably delivers --
+    # run two (the second pass re-measures the ff residual, so it also
+    # recovers the lo bits the stage API drops between passes)
+    n_corr = 2 if floor > 1e-3 else 1
+
     def march(pu, pv):
         its, rels, times = [], [], []
         for i in range(n_slabs):
             t0 = _time.time()
             x_ff, it, rs, cv, rnorm, bn, v_last = slab(pu, pv, i, rtol1,
-                                                       ir_rtol)
+                                                       ir_rtol, n_corr)
             _ = float(x_ff[0][-1, 0, 0, 0])
             times.append(_time.time() - t0)
             rn2, bn2 = jit_verify(ffres, pu, pv, x_ff, fhi[i], flo[i])

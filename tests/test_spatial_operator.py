@@ -247,13 +247,25 @@ def test_kron_banded_f64_parity():
                                    rtol=1e-13, atol=1e-13)
         np.testing.assert_allclose(np.asarray(mb), np.asarray(md),
                                    rtol=1e-13, atol=1e-14)
-        # hardware dtypes must not build the diagonal form
+        # hardware dtypes ALSO carry the banded factors now (round 5:
+        # enable_halo_mode may flip them to the banded pad+slice form
+        # AFTER construction for sharded runs), but default to the dense
+        # MXU path; force_banded must produce the identical result
         kr32 = KronAssembled(
             LaplaceMassOperator(mesh, k, k + 1, 0.0, 1.0,
                                 dtype=jnp.float32),
             LaplaceMassOperator(mesh, k, k + 1, 1.0, 0.0,
                                 dtype=jnp.float32), jnp.float32)
-        assert not kr32._f64 and kr32.Md == []
+        assert not kr32._f64 and len(kr32.Md) == mesh.dim
+        assert not kr32.force_banded and not kr32._shifted
+        x32 = x.astype(jnp.float32)
+        kd32, md32 = kr32.pair(x32)
+        kr32.force_banded = True
+        kb32, mb32 = kr32.pair(x32)
+        np.testing.assert_allclose(np.asarray(kb32), np.asarray(kd32),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mb32), np.asarray(md32),
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_system_matrix_zero_column_reduction():
