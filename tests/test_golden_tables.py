@@ -50,6 +50,17 @@ ERR_RTOL = 5e-4
 # is pinned by the 5e-4 relative alone.
 ERR_ATOL = 1e-8
 ERR_FLOOR = 2e-8
+# POINTWISE-max (L-inf) columns additionally tolerate 1e-7 ABSOLUTE:
+# a sup over samples carries the full f64 solver-noise sensitivity
+# (both codes solve to rel 1e-12; kappa amplifies to ~1e-8 absolute in
+# the fields, which integral norms average away but a pointwise max
+# does not -- measured: tf02stokes-k4 row 2 L-inf(p) deviates 4.4e-8
+# absolute while every integral norm on the row matches).  The
+# reference's OWN correctness contract is deal.II numdiff at absolute
+# 1e-6 (tests/CMakeLists.txt:4); 1e-7 is 10x stricter.  NOT a blanket
+# loosening: tf01stokes-k3's L-inf(u) cell (3.8e-6 absolute) still
+# FAILS under it and stays a documented open deviation.
+ERR_ATOL_LINF = 1e-7
 RATE_ATOL = 0.02
 # one-sided golden + 1.05 (round 3: order-invariant Arnoldi eigenvalue
 # estimates brought the coarsest-refinement counts from golden+2 to +-1 --
@@ -95,6 +106,8 @@ def _check_block(blk, results, err_fields, label):
         ours = [getattr(res, f) for f in err_fields]
         for col, (mine, gold) in enumerate(zip(ours, row.errors)):
             tol_abs = ERR_ATOL if abs(gold) < ERR_FLOOR else 0.0
+            if err_fields[col].startswith("linf"):
+                tol_abs = max(tol_abs, ERR_ATOL_LINF)
             assert mine == pytest.approx(gold, rel=ERR_RTOL,
                                          abs=tol_abs), \
                 f"{label} ref-row {ri} error col {col}: {mine} vs {gold}"
